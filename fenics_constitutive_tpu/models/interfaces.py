@@ -1,0 +1,128 @@
+"""The constitutive-model protocol: a pure-functional, QP-batched redesign of the
+reference's mutate-in-place numpy interface.
+
+Reference contract (/root/reference/src/fenics_constitutive/models/interfaces.py:76-144):
+``evaluate(t, del_t, grad_del_u, stress, tangent, history) -> None`` mutating flat
+numpy arrays. Here the same information flows functionally so models jit/vmap/grad
+cleanly and shard with GSPMD:
+
+    evaluate(t, del_t, grad_del_u[Q,g,g], stress[Q,s], history) ->
+        (stress[Q,s], tangent[Q,s,s], history)
+
+* ``stress`` in/out is Mandel notation (shear x sqrt2).
+* ``history`` is a dict[str, Array[Q, h]] pytree (or None for history-free models),
+  double-buffering is the caller's concern: the committed state is simply whichever
+  pytree you keep (the analog of history_0/history_1 in the reference's _history.py).
+* Models ARE pytrees: material parameters are leaves, so a jitted solver step does
+  not retrace when parameters change.
+"""
+
+from __future__ import annotations
+
+import abc
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.mandel import Constraint
+
+__all__ = ["IncrSmallStrainModel", "Constraint", "register_model"]
+
+Array = jnp.ndarray
+History = dict[str, Array] | None
+
+
+class IncrSmallStrainModel(abc.ABC):
+    """Base class for incremental small strain models (functional protocol)."""
+
+    @abc.abstractmethod
+    def evaluate(
+        self,
+        t: Array | float,
+        del_t: Array | float,
+        grad_del_u: Array,
+        stress: Array,
+        history: History,
+    ) -> tuple[Array, Array, History]:
+        r"""Evaluate the model over a batch of quadrature points.
+
+        Args:
+            t: global time :math:`t_n` at the start of the increment.
+            del_t: time increment :math:`\Delta t`.
+            grad_del_u: ``[Q, g, g]`` gradients of the displacement increment
+                :math:`\nabla\delta u` with :math:`\delta u = u_{n+1}-u_n`,
+                layout ``grad[i, j] = d(delta u_j)/dx_i`` (nabla_grad convention,
+                matching the flat layout the reference feeds its models).
+            stress: ``[Q, s]`` Mandel stress at :math:`t_n` (committed state).
+            history: committed history pytree or None.
+
+        Returns:
+            ``(stress_new, tangent, history_new)`` with ``tangent`` of shape
+            ``[Q, s, s]`` algorithmically consistent with the stress update.
+        """
+
+    @property
+    @abc.abstractmethod
+    def constraint(self) -> Constraint: ...
+
+    @property
+    def stress_strain_dim(self) -> int:
+        return self.constraint.stress_strain_dim
+
+    @property
+    def geometric_dim(self) -> int:
+        return self.constraint.geometric_dim
+
+    @property
+    @abc.abstractmethod
+    def history_dim(self) -> dict[str, int] | None:
+        """Name -> per-QP width of each history variable (interfaces.py:134-144)."""
+
+    def init_history(self, n_qp: int, dtype=jnp.float64) -> History:
+        """Allocate zero-initialized history arrays for ``n_qp`` quadrature points."""
+        hd = self.history_dim
+        if hd is None:
+            return None
+        return {
+            name: jnp.zeros((n_qp, dim) if dim > 1 else (n_qp,), dtype=dtype)
+            for name, dim in hd.items()
+        }
+
+
+def register_model(cls=None, *, param_fields: tuple[str, ...] = ("params",)):
+    """Class decorator registering a model as a JAX pytree.
+
+    ``param_fields`` are instance attributes treated as traced leaves (material
+    parameters); every other attribute is static auxiliary data. This keeps a
+    jitted solver step from retracing when only parameter *values* change.
+    """
+
+    def wrap(c):
+        def flatten(self):
+            children = tuple(getattr(self, f) for f in param_fields)
+            aux = {
+                k: v for k, v in vars(self).items() if k not in param_fields
+            }
+            return children, (type(self), tuple(aux.items()))
+
+        def unflatten(static, children):
+            klass, aux_items = static
+            obj = object.__new__(klass)
+            for f, child in zip(param_fields, children):
+                object.__setattr__(obj, f, child)
+            for k, v in aux_items:
+                object.__setattr__(obj, k, v)
+            return obj
+
+        jax.tree_util.register_pytree_node(c, flatten, unflatten)
+        return c
+
+    if cls is not None:
+        return wrap(cls)
+    return wrap
+
+
+def as_param_dict(parameters: dict[str, Any]) -> dict[str, Array]:
+    """Coerce a user parameter dict (floats / numpy scalars) to jnp scalars."""
+    return {k: jnp.asarray(v, dtype=jnp.result_type(float)) for k, v in parameters.items()}
