@@ -84,10 +84,10 @@ class IncrSmallStrainModel(abc.ABC):
         hd = self.history_dim
         if hd is None:
             return None
-        return {
-            name: jnp.zeros((n_qp, dim) if dim > 1 else (n_qp,), dtype=dtype)
-            for name, dim in hd.items()
-        }
+        # Always [Q, dim] (dim >= 1): one consistent layout for solver storage,
+        # checkpointing, and sharding. The reference's flat per-QP vectors are
+        # this layout raveled.
+        return {name: jnp.zeros((n_qp, dim), dtype=dtype) for name, dim in hd.items()}
 
 
 def register_model(cls=None, *, param_fields: tuple[str, ...] = ("params",)):

@@ -72,7 +72,7 @@ class VonMises3D(IncrSmallStrainModel):
         w = self.params["p_w"]
 
         eps = mandel.strain_from_grad_u(grad_del_u, Constraint.FULL)  # [Q, 6]
-        alpha = history["alpha"]  # [Q]
+        alpha = history["alpha"][:, 0]  # [Q]
         eps_p_n = history["eps_n"]  # [Q, 6]
 
         tr_eps = mandel.trace(eps)  # [Q]
@@ -158,7 +158,7 @@ class VonMises3D(IncrSmallStrainModel):
             * xn[:, :, None]
             * xn[:, None, :]
         )
-        return stress_new, tangent, {"eps_n": eps_p_new, "alpha": alpha_new}
+        return stress_new, tangent, {"eps_n": eps_p_new, "alpha": alpha_new[:, None]}
 
     @staticmethod
     def diverged_mask(history: History) -> Array:
@@ -207,7 +207,7 @@ class MisesPlasticityLinearHardening3D(IncrSmallStrainModel):
         h = self.params["h"]
 
         eps = mandel.strain_from_grad_u(grad_del_u, Constraint.FULL)
-        alpha = history["alpha"]
+        alpha = history["alpha"][:, 0]
         eps_p = history["plastic_strain"]
 
         p_0, s_0 = mandel.vol_dev(stress)
@@ -241,7 +241,7 @@ class MisesPlasticityLinearHardening3D(IncrSmallStrainModel):
             + (2.0 * mu * theta_bar)[:, None, None] * n[:, :, None] * n[:, None, :]
         )
         history_new = {
-            "alpha": alpha + del_alpha,
+            "alpha": (alpha + del_alpha)[:, None],
             "plastic_strain": eps_p + del_gamma[:, None] * n,
         }
         return stress_new, tangent, history_new

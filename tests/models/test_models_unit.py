@@ -101,7 +101,7 @@ def test_vonmises_plastic_step_on_yield_surface():
     hist = law.init_history(2)
     grad = make_uniaxial_strain_grad(0.05, q=2)  # far past yield
     stress, tangent, hist1 = law.evaluate(0.0, 1.0, grad, jnp.zeros((2, 6)), hist)
-    alpha = np.asarray(hist1["alpha"])
+    alpha = np.asarray(hist1["alpha"]).ravel()
     assert np.all(alpha > 0)
     dev_norm = np.linalg.norm(np.asarray(mandel.deviatoric(stress)), axis=1)
     y = param["p_y0"] + (param["p_y00"] - param["p_y0"]) * (
@@ -121,7 +121,7 @@ def test_vonmises_mixed_batch_elastic_and_plastic():
     hist = law.init_history(2)
     grad = jnp.zeros((2, 3, 3)).at[0, 0, 0].set(1e-6).at[1, 0, 0].set(0.05)
     stress, _, hist1 = law.evaluate(0.0, 1.0, grad, jnp.zeros((2, 6)), hist)
-    alpha = np.asarray(hist1["alpha"])
+    alpha = np.asarray(hist1["alpha"]).ravel()
     assert alpha[0] == 0.0 and alpha[1] > 0.0
     # elastic QP got the pure elastic update
     D = np.asarray(mandel.isotropic_elastic_tangent(param["p_mu"], param["p_ka"]))
@@ -165,7 +165,7 @@ def test_mises_linear_hardening_closed_form():
     theta = 1 - 3 * mu * del_alpha / s_eq
     expect = kappa * tr * np.array([1, 1, 1, 0, 0, 0.0]) + theta * s_tr
     np.testing.assert_allclose(np.asarray(stress[0]), expect, rtol=1e-12)
-    np.testing.assert_allclose(np.asarray(hist1["alpha"][0]), del_alpha, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(hist1["alpha"][0, 0]), del_alpha, rtol=1e-12)
     # plastic strain increment is sqrt(3/2) del_alpha * n
     n = s_tr / s_eq
     np.testing.assert_allclose(
