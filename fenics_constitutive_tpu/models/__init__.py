@@ -18,6 +18,7 @@ Rust-backed models in models/rust_models.py:84-161):
 
 from ..ops.mandel import Constraint, StressStrainConstraint
 from .conversions import PlaneStrainFrom3D, UniaxialStrainFrom3D
+from .drucker_prager import DruckerPrager3D, DruckerPragerHyperbolic3D
 from .interfaces import IncrSmallStrainModel
 from .linear_elasticity import LinearElasticityModel
 from .mises import MisesPlasticityLinearHardening3D, VonMises3D
@@ -30,6 +31,8 @@ __all__ = [
     "LinearElasticityModel",
     "VonMises3D",
     "MisesPlasticityLinearHardening3D",
+    "DruckerPrager3D",
+    "DruckerPragerHyperbolic3D",
     "SpringKelvinModel",
     "SpringMaxwellModel",
     "UniaxialStrainFrom3D",
