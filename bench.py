@@ -1,0 +1,110 @@
+"""Headline benchmark: 1M-quadrature-point von Mises plasticity Newton step.
+
+Runs on the real TPU chip. Workload = BASELINE.json's north-star config: a
+50x50x50 hex mesh with 2x2x2 Gauss points = exactly 1,000,000 QPs, von Mises
+with nonlinear isotropic hardening driven past yield. One "Newton step" =
+constitutive evaluation (batched masked radial-return Newton) + residual
+assembly + Jacobi diagonal + 50 CG iterations on the factored consistent
+tangent + state threading, compiled as ONE XLA program on the packed SoA
+engine (ops/packed.py).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: BASELINE.json targets "1M-QP Mises Newton step < 10 ms on v5p-8"
+(8 chips = 80 chip-ms per step). vs_baseline = 80 / (value_ms * n_chips), so
+>= 1.0 beats the per-chip-normalized target. The reference itself publishes no
+performance numbers (BASELINE.md) — its VonMises3D is a per-QP Python loop.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from fenics_constitutive_tpu.fem import DirichletBC, FunctionSpace, unit_cube_mesh
+    from fenics_constitutive_tpu.fem.bcs import combine_bcs
+    from fenics_constitutive_tpu.models import VonMises3D
+    from fenics_constitutive_tpu.solver.packed_step import (
+        build_packed_problem,
+        make_packed_step,
+    )
+
+    n = 50  # 50^3 hexes x 8 QP = 1,000,000 QPs
+    mesh = unit_cube_mesh(n, n, n, "hex")
+    V = FunctionSpace(mesh, 1, 3)
+
+    def close(axis, v):
+        return lambda x: np.isclose(x[:, axis], v)
+
+    bcs = [
+        DirichletBC(V.locate_dofs_geometrical(close(0, 0.0), component=0), 0.0),
+        DirichletBC(V.locate_dofs_geometrical(close(0, 1.0), component=0), 0.004),
+        DirichletBC(V.locate_dofs_geometrical(close(1, 0.0), component=1), 0.0),
+        DirichletBC(V.locate_dofs_geometrical(close(2, 0.0), component=2), 0.0),
+    ]
+    law = VonMises3D(
+        {
+            "p_ka": 175000.0,
+            "p_mu": 80769.0,
+            "p_y0": 1200.0,
+            "p_y00": 2500.0,
+            "p_w": 200.0,
+        }
+    )
+
+    geos, models, state = build_packed_problem(V, law, q_degree=2)
+    n_qp = geos[0].N
+    assert n_qp == 1_000_000, n_qp
+
+    # one Newton iteration per dispatch with a fixed CG budget: a
+    # deterministic, comparable unit of work
+    step = make_packed_step(
+        geos, max_newton=1, newton_rtol=0.0, newton_atol=0.0,
+        cg_rtol=1e-6, cg_maxiter=50,
+    )
+    bc_dofs, bc_vals = combine_bcs(bcs)
+    bc_dofs_j = jnp.asarray(bc_dofs)
+    bc_vals_j = jnp.asarray(bc_vals, state.u.dtype)
+    f_ext = jnp.zeros(V.ndofs, state.u.dtype)
+    dt = jnp.asarray(1.0, state.u.dtype)
+
+    jitted = jax.jit(lambda st: step(models, st, bc_dofs_j, bc_vals_j, f_ext, dt))
+
+    # warmup (compile) + drive past yield so the masked Newton does real work
+    st = state
+    for _ in range(2):
+        st, stats = jitted(st)
+    jax.block_until_ready(st.u)
+
+    n_iters = 5
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        st, stats = jitted(st)
+    jax.block_until_ready(st.u)
+    elapsed = time.perf_counter() - t0
+
+    ms_per_step = elapsed / n_iters * 1000.0
+    n_chips = jax.device_count()
+    vs_baseline = 80.0 / (ms_per_step * n_chips)
+
+    print(
+        json.dumps(
+            {
+                "metric": "mises_1MQP_newton_step",
+                "value": round(ms_per_step, 3),
+                "unit": "ms",
+                "vs_baseline": round(vs_baseline, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -29,6 +29,9 @@ class Mesh:
     nodes: np.ndarray  # [N, gdim] float64
     cells: np.ndarray  # [C, nodes_per_cell] int32
     cell_type: str  # interval | triangle | quad | tetra | hex
+    #: cell counts per axis for box-structured tensor grids (enables the
+    #: gather-free stencil fast path in ops/structured.py); None otherwise
+    structured_shape: tuple | None = None
 
     @property
     def gdim(self) -> int:
@@ -79,7 +82,8 @@ def unit_square_mesh(nx: int, ny: int, cell_type: str = "triangle") -> Mesh:
             else:
                 msg = f"unknown 2D cell type {cell_type}"
                 raise ValueError(msg)
-    return Mesh(nodes, np.asarray(cells, np.int32), cell_type)
+    structured = (nx, ny) if cell_type == "quad" else None
+    return Mesh(nodes, np.asarray(cells, np.int32), cell_type, structured)
 
 
 # Kuhn subdivision of the unit cube into 6 tetrahedra: each tet follows a
@@ -131,4 +135,5 @@ def unit_cube_mesh(nx: int, ny: int, nz: int, cell_type: str = "tetra") -> Mesh:
                 else:
                     msg = f"unknown 3D cell type {cell_type}"
                     raise ValueError(msg)
-    return Mesh(nodes, np.asarray(cells, np.int32), cell_type)
+    structured = (nx, ny, nz) if cell_type == "hex" else None
+    return Mesh(nodes, np.asarray(cells, np.int32), cell_type, structured)

@@ -74,6 +74,15 @@ class FunctionSpace:
     cell_dof_nodes: np.ndarray = field(init=False)  # [C, n]
 
     def __post_init__(self):
+        if self.degree == 1:
+            # P1/Q1: dof nodes ARE the mesh nodes, keeping mesh numbering —
+            # this is what lets the structured stencil path reshape the dof
+            # vector straight into the node grid (ops/structured.py).
+            object.__setattr__(self, "dof_coords", self.mesh.nodes)
+            object.__setattr__(
+                self, "cell_dof_nodes", self.mesh.cells.astype(np.int32)
+            )
+            return
         elem, _ = tabulate_element(self.mesh.cell_type, self.degree, self.degree)
         geom_N = _geometry_basis_at(self.mesh.cell_type, elem.nodes)  # [n, nverts]
         # physical positions of every element-local dof node

@@ -1,0 +1,170 @@
+"""Packed (SoA) constitutive kernels for the hot models.
+
+These are the TPU-layout twins of the reference-parity models in this package:
+same math, component-axis-leading arrays ([s, N] stress, [h, N] history), and
+factored isotropic tangents (ops.packed.IsotropicTangent) so the CG matvec
+never touches a dense [6, 6, N] field. Numerical equivalence with the AoS
+kernels is pinned by tests/solver/test_packed.py.
+
+Contract: ``evaluate_packed(t, dt, eps [s,N], stress [s,N], history) ->
+(stress', TangentRep, history')`` where ``eps`` is the Mandel strain increment
+(the engine computes strain from the gradient; isotropic small-strain models
+never need the rotation part).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.packed import IsotropicTangent
+from .linear_elasticity import LinearElasticityModel
+from .mises import MisesPlasticityLinearHardening3D, VonMises3D
+
+_SQ23 = math.sqrt(2.0 / 3.0)
+
+
+def _dev_soa(x):
+    tr = x[:3].sum(axis=0)
+    i2 = jnp.concatenate(
+        [jnp.ones((3,) + tr.shape, x.dtype), jnp.zeros((3,) + tr.shape, x.dtype)]
+    )
+    return tr, x - (tr / 3.0) * i2, i2
+
+
+def _vonmises_evaluate_packed(self, t, dt, eps, stress, history):
+    del t, dt
+    ka = self.params["p_ka"]
+    mu = self.params["p_mu"]
+    y0 = self.params["p_y0"]
+    y00 = self.params["p_y00"]
+    w = self.params["p_w"]
+
+    alpha = history["alpha"][0]  # [N]
+    eps_p_n = history["eps_n"]  # [6, N]
+
+    tr_eps, eps_dev, i2 = _dev_soa(eps)
+    del_sigtr = 2.0 * mu * eps_dev
+    _, s_n, _ = _dev_soa(stress)
+    sigtr = s_n + del_sigtr
+    sigtrn = jnp.sqrt((sigtr * sigtr).sum(axis=0))
+
+    def hardening(a):
+        return y0 + (y00 - y0) * (1.0 - jnp.exp(-w * a))
+
+    phitr = sigtrn - _SQ23 * hardening(alpha)
+    plastic = phitr > 0.0
+    safe = jnp.where(sigtrn > 0.0, sigtrn, 1.0)
+    xn = jnp.where(plastic, sigtr / safe, 0.0)
+
+    def f(x):
+        return sigtrn - 2.0 * mu * x - _SQ23 * hardening(alpha + _SQ23 * x)
+
+    def df(x):
+        return -2.0 * mu - (2.0 / 3.0) * (y00 - y0) * w * jnp.exp(
+            -w * (alpha + _SQ23 * x)
+        )
+
+    one = jnp.ones_like(sigtrn)
+
+    def active(state):
+        g_prev, g, xr, it = state
+        return plastic & (jnp.abs(xr) > self.newton_tol) & (
+            jnp.abs(g - g_prev) > self.newton_rtol * jnp.abs(g)
+        )
+
+    def cond(state):
+        return jnp.any(active(state)) & (state[3] <= self.newton_max_iter)
+
+    def body(state):
+        g_prev, g, xr, it = state
+        act = active(state)
+        g0 = jnp.where(act, g, g_prev)
+        xr_new = f(g0)
+        g_new = g0 - xr_new / df(g0)
+        return (g0, jnp.where(act, g_new, g), jnp.where(act, xr_new, xr), it + 1)
+
+    _, gamma, _, _ = jax.lax.while_loop(
+        cond, body, (one, jnp.zeros_like(sigtrn), one, jnp.asarray(0, jnp.int32))
+    )
+    gamma = jnp.where(plastic, gamma, 0.0)
+
+    xg = df(gamma)
+    xc1 = jnp.where(plastic, -1.0 / xg, 0.0)
+    xc2 = jnp.where(plastic, gamma / safe, 0.0)
+
+    stress_new = stress + ka * tr_eps * i2 + del_sigtr - 2.0 * mu * gamma * xn
+    history_new = {
+        "eps_n": eps_p_n + gamma * xn,
+        "alpha": (alpha + _SQ23 * gamma)[None],
+    }
+    tangent = IsotropicTangent(
+        kappa=ka,
+        beta=2.0 * mu * (1.0 - 2.0 * mu * xc2),
+        gamma=4.0 * mu * mu * (xc2 - xc1),
+        n=xn,
+    )
+    return stress_new, tangent, history_new
+
+
+def _mises_linear_evaluate_packed(self, t, dt, eps, stress, history):
+    del t, dt
+    mu = self.params["mu"]
+    kappa = self.params["kappa"]
+    y_0 = self.params["y_0"]
+    h = self.params["h"]
+
+    alpha = history["alpha"][0]
+    eps_p = history["plastic_strain"]
+
+    tr_s, s_0, i2 = _dev_soa(stress)
+    tr_e, e_dev, _ = _dev_soa(eps)
+    p_1 = tr_s / 3.0 + kappa * tr_e
+
+    s_tr = s_0 + 2.0 * mu * e_dev
+    s_tr_eq = jnp.sqrt(1.5 * (s_tr * s_tr).sum(axis=0))
+    sigma_y = y_0 + h * alpha
+    plastic = s_tr_eq >= sigma_y
+    safe = jnp.where(s_tr_eq > 0.0, s_tr_eq, 1.0)
+
+    del_alpha = jnp.where(plastic, (s_tr_eq - sigma_y) / (3.0 * mu + h), 0.0)
+    theta = jnp.where(plastic, 1.0 - (3.0 * mu * del_alpha) / safe, 1.0)
+    n = jnp.where(plastic, s_tr / safe, 0.0)
+    theta_bar = jnp.where(plastic, 1.0 / (1.0 + h / (3.0 * mu)) - (1.0 - theta), 0.0)
+
+    stress_new = p_1 * i2 + theta * s_tr
+    history_new = {
+        "alpha": (alpha + del_alpha)[None],
+        "plastic_strain": eps_p + math.sqrt(1.5) * del_alpha * n,
+    }
+    tangent = IsotropicTangent(
+        kappa=kappa, beta=2.0 * mu * theta, gamma=2.0 * mu * theta_bar, n=n
+    )
+    return stress_new, tangent, history_new
+
+
+def _linear_elasticity_evaluate_packed(self, t, dt, eps, stress, history):
+    del t, dt
+    from ..ops.mandel import Constraint
+
+    assert self._constraint == Constraint.FULL, (
+        "packed path currently supports the FULL constraint"
+    )
+    E, nu = self.params["E"], self.params["nu"]
+    mu = E / (2.0 * (1.0 + nu))
+    ka = E / (3.0 * (1.0 - 2.0 * nu))
+    tr_e, e_dev, i2 = _dev_soa(eps)
+    stress_new = stress + ka * tr_e * i2 + 2.0 * mu * e_dev
+    zero = jnp.zeros_like(tr_e)
+    tangent = IsotropicTangent(
+        kappa=ka, beta=2.0 * mu * jnp.ones_like(tr_e), gamma=zero,
+        n=jnp.zeros_like(eps),
+    )
+    return stress_new, tangent, history
+
+
+VonMises3D.evaluate_packed = _vonmises_evaluate_packed
+MisesPlasticityLinearHardening3D.evaluate_packed = _mises_linear_evaluate_packed
+LinearElasticityModel.evaluate_packed = _linear_elasticity_evaluate_packed

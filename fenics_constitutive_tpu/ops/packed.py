@@ -1,0 +1,323 @@
+"""Packed (structure-of-arrays) engine: the TPU-optimized hot path.
+
+Why this exists: TPU memory is tiled (8, 128) on the two minor dimensions of
+every materialized array. The reference-parity layouts ([QP, 6] stress,
+[QP, 6, 6] tangents, [C, Q, n, g] gradients) put tiny component dims last and
+pad 20-40x — a 137 MB tangent field becomes 3.8 GB of HBM. The packed engine
+stores every QP field with component axes LEADING and one flat QP axis
+TRAILING (`N = Q * C`, q-major so the huge cell count is always the minor-most
+dim): stress [6, N], history [h, N], tabulated gradients [n, g, N]. Padding
+drops to <= 4/3x and every constitutive/assembly op is a fused elementwise
+sweep over N on the VPU.
+
+Further TPU-native choices:
+  * geometry dedup: on translation-invariant (structured) meshes all cells
+    share one Jacobian — dN/dx collapses to [n, g, Q] and the gradient/assembly
+    contractions become genuine [24 x 8] x [8 x N] matmuls on the MXU;
+  * gather-based assembly: instead of scatter-add, each dof gathers its
+    (precomputed, padded-to-max-valence) element contributions and sums —
+    deterministic by construction, no atomics, and it vectorizes;
+  * factored tangents: isotropic return-mapping tangents have the form
+    kappa*(I2 (x) I2) + beta*P_dev + gamma*(n (x) n); storing (beta, gamma, n)
+    is 8 floats/QP instead of 36 and turns the CG matvec into ~25 FMAs/QP.
+
+The reference-parity AoS path (fem/assembly.py) remains the correctness
+baseline; tests/solver/test_packed.py pins the two engines together.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import mandel
+from ..ops.mandel import Constraint
+from ..fem.elements import tabulate_element
+from ..fem.spaces import FunctionSpace
+
+__all__ = [
+    "PackedGeometry",
+    "build_packed_geometry",
+    "packed_strain",
+    "packed_residual",
+    "packed_matvec",
+    "packed_jacobi_diag",
+    "IsotropicTangent",
+    "DenseTangent",
+]
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["dN", "w", "dofmap_t", "gather_idx"],
+    meta_fields=["uniform", "n_cells", "n_qp", "n_nodes", "vs", "ndofs", "constraint"],
+)
+@dataclass(frozen=True)
+class PackedGeometry:
+    """SoA tabulated geometry for one law's cell block.
+
+    dN: [n, g, Q] when uniform else [n, g, N]  (N = Q * n_cells, q-major)
+    w:  [N] quadrature weight x |detJ|
+    dofmap_t: [n, vs, C] global dof ids
+    gather_idx: [ndofs, maxval] indices into the flat element-force array
+        (n*vs*C + 1 slots; the last slot is a zero pad target)
+    """
+
+    dN: jnp.ndarray
+    w: jnp.ndarray
+    dofmap_t: jnp.ndarray
+    gather_idx: jnp.ndarray
+    uniform: bool
+    n_cells: int
+    n_qp: int
+    n_nodes: int
+    vs: int
+    ndofs: int
+    constraint: Constraint
+
+    @property
+    def N(self) -> int:
+        return self.n_qp * self.n_cells
+
+    # method interface shared with ops.structured.StructuredGeometry so the
+    # solver is layout-agnostic
+    def grad(self, u: jnp.ndarray) -> jnp.ndarray:
+        return packed_grad(u, self)
+
+    def residual(self, sigma: jnp.ndarray) -> jnp.ndarray:
+        return packed_residual(sigma, self)
+
+    def matvec(self, v: jnp.ndarray, tangent) -> jnp.ndarray:
+        return packed_matvec(v, tangent, self)
+
+    def jacobi_diag(self, tangent) -> jnp.ndarray:
+        return packed_jacobi_diag(tangent, self)
+
+
+def build_packed_geometry(
+    space: FunctionSpace, q_degree: int, constraint: Constraint,
+    cells: np.ndarray | None = None, dtype=None,
+) -> PackedGeometry:
+    """Tabulate SoA geometry (host-side, once per mesh)."""
+    from ..fem.kinematics import _geometry_grad_at
+    from ..fem.spaces import _geometry_basis_at
+
+    dtype = dtype or jnp.result_type(float)
+    mesh = space.mesh
+    elem, quad = tabulate_element(mesh.cell_type, space.degree, q_degree)
+    cell_ids = np.arange(mesh.num_cells) if cells is None else np.asarray(cells)
+    C = len(cell_ids)
+    Q = quad.points.shape[0]
+    verts = mesh.nodes[mesh.cells[cell_ids]]
+
+    geom_dN = _geometry_grad_at(mesh.cell_type, quad.points)  # [Q, nv, r]
+    J = np.einsum("cvi,qvj->cqij", verts, geom_dN)
+    detJ = np.abs(np.linalg.det(J))
+    Jinv = np.linalg.inv(J)
+    dN_dx = np.einsum("qaj,cqji->cqai", elem.dN_dxi, Jinv)  # [C, Q, n, g]
+    w = quad.weights[None, :] * detJ  # [C, Q]
+
+    uniform = bool(
+        np.allclose(dN_dx, dN_dx[0:1], rtol=0, atol=1e-12)
+        and np.allclose(detJ, detJ.flat[0], rtol=1e-12)
+    )
+    # q-major flat ordering: N index = q * C + c
+    if uniform:
+        dN = jnp.asarray(dN_dx[0].transpose(1, 2, 0), dtype)  # [n, g, Q]
+    else:
+        dN = jnp.asarray(dN_dx.transpose(2, 3, 1, 0).reshape(
+            dN_dx.shape[2], dN_dx.shape[3], Q * C), dtype)  # [n, g, N]
+    w_packed = jnp.asarray(w.T.reshape(-1), dtype)  # [Q*C], q-major
+
+    n = elem.N.shape[1]
+    vs = space.value_size
+    dofmap = space.dofmap[cell_ids]  # [C, n, vs]
+    dofmap_t = jnp.asarray(dofmap.transpose(1, 2, 0))  # [n, vs, C]
+
+    # gather-based assembly plan: flat element-force layout is [n, vs, C]
+    # (same as dofmap_t); for each global dof collect its source slots.
+    flat_dofs = dofmap.transpose(1, 2, 0).reshape(-1)  # [n*vs*C]
+    order = np.argsort(flat_dofs, kind="stable")
+    sorted_dofs = flat_dofs[order]
+    ndofs = space.ndofs
+    counts = np.bincount(sorted_dofs, minlength=ndofs)
+    maxval = int(counts.max()) if len(counts) else 0
+    pad_slot = len(flat_dofs)  # one-past-the-end zero slot
+    gather_idx = np.full((ndofs, maxval), pad_slot, np.int32)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    for d in range(ndofs):
+        c = counts[d]
+        gather_idx[d, :c] = order[starts[d] : starts[d] + c]
+
+    return PackedGeometry(
+        dN=dN,
+        w=w_packed,
+        dofmap_t=dofmap_t,
+        gather_idx=jnp.asarray(gather_idx),
+        uniform=uniform,
+        n_cells=C,
+        n_qp=Q,
+        n_nodes=n,
+        vs=vs,
+        ndofs=ndofs,
+        constraint=constraint,
+    )
+
+
+# ---------------------------------------------------------------------------
+# kinematics + assembly in SoA layout
+# ---------------------------------------------------------------------------
+
+
+def _gather_u_e(u: jnp.ndarray, geo: PackedGeometry) -> jnp.ndarray:
+    """u [ndofs] -> element dofs [n, vs, C]."""
+    return u[geo.dofmap_t]
+
+
+def packed_grad(u: jnp.ndarray, geo: PackedGeometry) -> jnp.ndarray:
+    """Displacement gradient at QPs: [g, vs, N] with grad[i, j] = d u_j / d x_i."""
+    u_e = _gather_u_e(u, geo)  # [n, vs, C]
+    if geo.uniform:
+        # MXU path: contraction over n as a [g*Q, n] x [n, vs*C] matmul
+        out = jnp.einsum(
+            "ngq,njc->gjqc", geo.dN, u_e, preferred_element_type=u.dtype
+        )
+        return out.reshape(out.shape[0], out.shape[1], geo.N)
+    u_eN = jnp.broadcast_to(
+        u_e[:, :, None, :], (geo.n_nodes, geo.vs, geo.n_qp, geo.n_cells)
+    ).reshape(geo.n_nodes, geo.vs, geo.N)
+    return jnp.einsum("ngN,njN->gjN", geo.dN, u_eN)
+
+
+def packed_strain(grad: jnp.ndarray, constraint: Constraint) -> jnp.ndarray:
+    """Mandel strain [s, N] from grad [g, vs, N] (same convention as
+    ops.mandel.strain_from_grad_u, component axis leading)."""
+    M = jnp.asarray(mandel._mandel_matrix_map(constraint), grad.dtype)  # [s, g, g]
+    return jnp.einsum("sij,ijN->sN", M, grad)
+
+
+def _elem_force(sig_w: jnp.ndarray, geo: PackedGeometry) -> jnp.ndarray:
+    """sigma-tensor-times-weight [g, vs, N] -> element forces [n, vs, C]."""
+    if geo.uniform:
+        t = jnp.einsum(
+            "ngq,gjqc->njc",
+            geo.dN,
+            sig_w.reshape(sig_w.shape[0], sig_w.shape[1], geo.n_qp, geo.n_cells),
+            preferred_element_type=sig_w.dtype,
+        )
+        return t
+    t = jnp.einsum("ngN,gjN->njN", geo.dN, sig_w)
+    return t.reshape(geo.n_nodes, geo.vs, geo.n_qp, geo.n_cells).sum(axis=2)
+
+
+def _assemble(f_e: jnp.ndarray, geo: PackedGeometry) -> jnp.ndarray:
+    """Deterministic gather-based assembly: [n, vs, C] element forces -> [ndofs]."""
+    flat = jnp.concatenate([f_e.reshape(-1), jnp.zeros(1, f_e.dtype)])
+    return flat[geo.gather_idx].sum(axis=1)
+
+
+def packed_residual(sigma: jnp.ndarray, geo: PackedGeometry) -> jnp.ndarray:
+    """r = integral eps_m(v) . sigma: sigma [s, N] -> [ndofs]."""
+    M = jnp.asarray(mandel._mandel_matrix_map(geo.constraint), sigma.dtype)
+    sig_t = jnp.einsum("sij,sN->ijN", M, sigma)  # mandel -> tensor, SoA
+    return _assemble(_elem_force(sig_t * geo.w, geo), geo)
+
+
+def packed_matvec(v: jnp.ndarray, tangent, geo: PackedGeometry) -> jnp.ndarray:
+    """Matrix-free tangent action in SoA layout."""
+    eps_v = packed_strain(packed_grad(v, geo), geo.constraint)  # [s, N]
+    return packed_residual(tangent.apply(eps_v), geo)
+
+
+def packed_jacobi_diag(tangent, geo: PackedGeometry) -> jnp.ndarray:
+    """diag(A) via the per-QP quadratic form B^T C B, SoA layout."""
+    M = jnp.asarray(mandel._mandel_matrix_map(geo.constraint), geo.w.dtype)
+    cols = []
+    for a in range(geo.n_nodes):
+        dn_a = geo.dN[a]  # [g, Q] or [g, N]
+        if geo.uniform:
+            dn_a = jnp.broadcast_to(
+                dn_a[:, :, None], (dn_a.shape[0], geo.n_qp, geo.n_cells)
+            ).reshape(dn_a.shape[0], geo.N)
+        B_a = jnp.einsum("sij,iN->sjN", M, dn_a)  # [s, vs, N]
+        q = tangent.quad_diag(B_a)  # [vs, N]
+        contrib = (q * geo.w).reshape(geo.vs, geo.n_qp, geo.n_cells).sum(axis=1)
+        cols.append(contrib)  # [vs, C]
+    d_e = jnp.stack(cols, axis=0)  # [n, vs, C]
+    return _assemble(d_e, geo)
+
+
+# ---------------------------------------------------------------------------
+# tangent representations
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["kappa", "beta", "gamma", "n"],
+    meta_fields=[],
+)
+@dataclass(frozen=True)
+class IsotropicTangent:
+    """C = kappa * (I2 (x) I2) + beta * P_dev + gamma * (n (x) n) in Mandel
+    space — the closed form shared by elastic, von Mises, and radial-return
+    tangents (e.g. reference mises_plasticity...py:170-175, mises_plasticity.rs:119-121).
+
+    kappa: scalar or [N]; beta, gamma: [N]; n: [6, N] (unit deviatoric).
+    """
+
+    kappa: jnp.ndarray
+    beta: jnp.ndarray
+    gamma: jnp.ndarray
+    n: jnp.ndarray
+
+    def apply(self, eps: jnp.ndarray) -> jnp.ndarray:
+        """[s, N] -> [s, N]."""
+        tr = eps[:3].sum(axis=0)
+        i2 = jnp.concatenate(
+            [jnp.ones((3,) + tr.shape, eps.dtype), jnp.zeros((3,) + tr.shape, eps.dtype)]
+        )
+        dev = eps - (tr / 3.0) * i2
+        ndote = (self.n * eps).sum(axis=0)
+        return self.kappa * tr * i2 + self.beta * dev + self.gamma * ndote * self.n
+
+    def quad_diag(self, B: jnp.ndarray) -> jnp.ndarray:
+        """B^T C B for B [s, vs, N] -> [vs, N]."""
+        trB = B[:3].sum(axis=0)  # [vs, N]
+        dev = B - (trB / 3.0)[None] * jnp.concatenate(
+            [jnp.ones((3,) + trB.shape, B.dtype), jnp.zeros((3,) + trB.shape, B.dtype)]
+        )
+        ndotB = jnp.einsum("sN,svN->vN", self.n, B)
+        return (
+            self.kappa * trB**2
+            + self.beta * jnp.einsum("svN,svN->vN", dev, dev)
+            + self.gamma * ndotB**2
+        )
+
+    def full_matrix(self) -> jnp.ndarray:
+        """Materialize [6, 6, N] (debug/testing only)."""
+        ioi = jnp.asarray(3.0 * mandel.projection_vol(6), self.beta.dtype)
+        pdev = jnp.asarray(mandel.projection_dev(6), self.beta.dtype)
+        return (
+            self.kappa * ioi[:, :, None]
+            + self.beta * pdev[:, :, None]
+            + self.gamma * self.n[:, None, :] * self.n[None, :, :]
+        )
+
+
+@partial(jax.tree_util.register_dataclass, data_fields=["C"], meta_fields=[])
+@dataclass(frozen=True)
+class DenseTangent:
+    """General [s, s, N] tangent (fallback for non-isotropic-factored models)."""
+
+    C: jnp.ndarray
+
+    def apply(self, eps: jnp.ndarray) -> jnp.ndarray:
+        return jnp.einsum("stN,tN->sN", self.C, eps)
+
+    def quad_diag(self, B: jnp.ndarray) -> jnp.ndarray:
+        return jnp.einsum("svN,stN,tvN->vN", B, self.C, B)

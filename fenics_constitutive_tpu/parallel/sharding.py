@@ -1,0 +1,75 @@
+"""GSPMD sharding of the incremental problem over a device mesh.
+
+The reference's distributed story is MPI domain decomposition inherited from
+dolfinx/PETSc: partitioned meshes, ghost cells, `scatter_forward` halo
+exchanges after every state write, and `comm.allreduce` norms (SURVEY §2.4,
+§5.8). The TPU-native equivalent implemented here:
+
+  * every per-cell/per-QP array (tabulated gradients, QP weights, dofmaps,
+    stress, tangents, history) is sharded along its leading cell axis with a
+    `NamedSharding` over a 1-D `jax.sharding.Mesh`;
+  * the global dof vectors (u, residual, f_ext) are replicated;
+  * XLA's SPMD partitioner turns the segment-sum assembly into a local
+    scatter-add followed by an all-reduce over ICI — the analog of ghost
+    accumulation — and the CG dot products into `psum`s. No hand-written
+    halo exchange is needed because assembly is an additive gather/scatter,
+    not a stencil.
+
+There is no analog of elastic training / NCCL / ring collectives to build:
+one jitted program runs on all devices (single-program multiple-data), and
+determinism follows from the fixed reduction topology (validated by
+tests/parallel/test_sharding.py against the reference's `mpirun -np 2`
+equivalence test, test_solver_mpi.py:92-121).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_device_mesh", "shard_problem"]
+
+
+def make_device_mesh(n_devices: int | None = None, axis: str = "cells") -> Mesh:
+    """1-D device mesh over the first ``n_devices`` available devices."""
+    devs = jax.devices()
+    n = len(devs) if n_devices is None else n_devices
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def _put(x, sharding):
+    return jax.device_put(x, sharding)
+
+
+def shard_problem(problem, mesh: Mesh, axis: str = "cells") -> None:
+    """Shard a problem's arrays in place over ``mesh``.
+
+    Cell-axis arrays are split along ``axis``; dof vectors are replicated.
+    All subsequently jitted solver steps run SPMD; results are numerically
+    the single-device computation up to reduction-order rounding.
+    """
+    cells_sh = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    problem._law_data = tuple(
+        (
+            _put(dofmap, cells_sh),
+            jax.tree.map(lambda a: _put(a, cells_sh), geo),
+            _put(cells, cells_sh),
+        )
+        for (dofmap, geo, cells) in problem._law_data
+    )
+    problem._stress_prev = _put(problem._stress_prev, cells_sh)
+    problem._stress_curr = _put(problem._stress_curr, cells_sh)
+    problem._histories = tuple(
+        None
+        if h is None
+        else {k: _put(v, cells_sh) for k, v in h.items()}
+        for h in problem._histories
+    )
+    problem._histories_trial = problem._histories
+    problem._w_detJ_global = _put(problem._w_detJ_global, cells_sh)
+    problem.u = _put(problem.u, repl)
+    problem.u_prev = _put(problem.u_prev, repl)
+    problem.f_ext = _put(problem.f_ext, repl)

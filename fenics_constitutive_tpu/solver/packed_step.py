@@ -1,0 +1,150 @@
+"""Fully-jitted Newton-Krylov load step on the packed (SoA) engine.
+
+Same semantics as solver/step.py (one XLA program per load step, Newton via
+lax.while_loop, Jacobi-CG linear solves) but on TPU-native layouts: stress
+[s, N], history [h, N], factored tangents. This is the production/benchmark
+path; solver/problem.py remains the reference-parity interactive path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.packed import PackedGeometry, build_packed_geometry, packed_strain
+from ..ops.structured import build_structured_geometry
+from . import linear
+
+# ensure the packed kernels are attached to the model classes
+from ..models import packed_models as _packed_models  # noqa: F401
+
+__all__ = ["PackedState", "build_packed_problem", "make_packed_step"]
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["u", "stress", "histories", "t"],
+    meta_fields=[],
+)
+@dataclass(frozen=True)
+class PackedState:
+    u: jnp.ndarray
+    stress: tuple  # per-law [s, N_l]
+    histories: tuple  # per-law dict of [h, N_l] (or None)
+    t: jnp.ndarray
+
+
+def build_packed_problem(space, laws, q_degree, dtype=None):
+    """Tabulate packed geometry + initial state for (model, cells) laws.
+
+    Returns (geos, models, state0).
+    """
+    from ..models.interfaces import IncrSmallStrainModel
+
+    dtype = dtype or jnp.result_type(float)
+    if isinstance(laws, IncrSmallStrainModel):
+        laws = [(laws, np.arange(space.mesh.num_cells, dtype=np.int32))]
+    constraint = laws[0][0].constraint
+
+    def make_geo(cells):
+        whole_mesh = len(cells) == space.mesh.num_cells
+        if whole_mesh and space.mesh.structured_shape is not None and space.degree == 1:
+            # gather-free stencil fast path for box-structured grids
+            return build_structured_geometry(space, q_degree, constraint, dtype)
+        return build_packed_geometry(space, q_degree, constraint, cells, dtype)
+
+    geos = tuple(make_geo(np.asarray(cells)) for _, cells in laws)
+    models = tuple(m for m, _ in laws)
+    sdim = constraint.stress_strain_dim
+    stress = tuple(jnp.zeros((sdim, g.N), dtype) for g in geos)
+    histories = tuple(
+        None
+        if m.history_dim is None
+        else {k: jnp.zeros((d, g.N), dtype) for k, d in m.history_dim.items()}
+        for m, g in zip(models, geos)
+    )
+    state = PackedState(
+        u=jnp.zeros(space.ndofs, dtype),
+        stress=stress,
+        histories=histories,
+        t=jnp.asarray(0.0, dtype),
+    )
+    return geos, models, state
+
+
+def make_packed_step(
+    geos: tuple,
+    *,
+    newton_rtol: float = 1e-12,
+    newton_atol: float = 1e-10,
+    max_newton: int = 25,
+    cg_rtol: float = 1e-14,
+    cg_maxiter: int = 1000,
+):
+    """Build ``step(models, state, bc_dofs, bc_vals, f_ext, dt) -> (state', stats)``."""
+    ndofs = geos[0].ndofs
+    constraint = geos[0].constraint
+
+    def eval_assemble(models, u, state: PackedState, f_ext, dt):
+        du = u - state.u
+        r = -f_ext
+        stresses, tangents, hists = [], [], []
+        for model, geo, sig0, h0 in zip(models, geos, state.stress, state.histories):
+            eps = packed_strain(geo.grad(du), constraint)
+            s_new, tg, h_new = model.evaluate_packed(state.t, dt, eps, sig0, h0)
+            r = r + geo.residual(s_new)
+            stresses.append(s_new)
+            tangents.append(tg)
+            hists.append(h_new)
+        return r, tuple(stresses), tuple(tangents), tuple(hists)
+
+    def linear_solve(tangents, r, free):
+        diag = jnp.zeros_like(r)
+        for geo, tg in zip(geos, tangents):
+            diag = diag + geo.jacobi_diag(tg)
+        diag = jnp.where(free, diag, 1.0)
+
+        def matvec(v):
+            vm = jnp.where(free, v, 0.0)
+            out = jnp.zeros_like(v)
+            for geo, tg in zip(geos, tangents):
+                out = out + geo.matvec(vm, tg)
+            return jnp.where(free, out, v)
+
+        return linear.cg_solve(
+            matvec, jnp.where(free, r, 0.0), diag, rtol=cg_rtol, maxiter=cg_maxiter
+        )
+
+    def step(models, state: PackedState, bc_dofs, bc_vals, f_ext, dt):
+        free = jnp.ones(ndofs, bool).at[bc_dofs].set(False)
+        u0 = state.u.at[bc_dofs].set(bc_vals)
+
+        def fnorm(r):
+            return jnp.linalg.norm(jnp.where(free, r, 0.0))
+
+        r0, s0, tg0, h0 = eval_assemble(models, u0, state, f_ext, dt)
+        r0_norm = fnorm(r0)
+
+        def cond(carry):
+            u, it, r, *_ = carry
+            return (fnorm(r) > jnp.maximum(newton_atol, newton_rtol * r0_norm)) & (
+                it < max_newton
+            )
+
+        def body(carry):
+            u, it, r, s, tg, h = carry
+            delta, _ = linear_solve(tg, r, free)
+            u_new = u - delta
+            r2, s2, tg2, h2 = eval_assemble(models, u_new, state, f_ext, dt)
+            return (u_new, it + 1, r2, s2, tg2, h2)
+
+        carry = (u0, jnp.asarray(0, jnp.int32), r0, s0, tg0, h0)
+        u, niter, r_f, s_f, _, h_f = jax.lax.while_loop(cond, body, carry)
+        new_state = PackedState(u=u, stress=s_f, histories=h_f, t=state.t + dt)
+        return new_state, {"newton_iters": niter, "r_norm": fnorm(r_f), "r0_norm": r0_norm}
+
+    return step

@@ -1,0 +1,169 @@
+"""Packed (SoA) engine vs reference-parity (AoS) engine equivalence.
+
+The packed engine is the TPU-optimized hot path (ops/packed.py,
+solver/packed_step.py); the AoS path is the correctness baseline validated
+against analytic BVPs. These tests pin them together to 1e-12 so layout
+optimizations can never drift the numerics.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fenics_constitutive_tpu.fem import DirichletBC, FunctionSpace, unit_cube_mesh
+from fenics_constitutive_tpu.fem.bcs import combine_bcs
+from fenics_constitutive_tpu.models import LinearElasticityModel, VonMises3D, Constraint
+from fenics_constitutive_tpu.ops.packed import (
+    IsotropicTangent,
+    build_packed_geometry,
+    packed_grad,
+    packed_jacobi_diag,
+    packed_matvec,
+    packed_residual,
+    packed_strain,
+)
+from fenics_constitutive_tpu.solver import IncrSmallStrainProblem
+from fenics_constitutive_tpu.solver.packed_step import (
+    PackedState,
+    build_packed_problem,
+    make_packed_step,
+)
+
+MAT = {
+    "p_ka": 175000.0,
+    "p_mu": 80769.0,
+    "p_y0": 1200.0,
+    "p_y00": 2500.0,
+    "p_w": 200.0,
+}
+
+
+def setup(cell_type="hex", n=2):
+    mesh = unit_cube_mesh(n, n, n, cell_type)
+    V = FunctionSpace(mesh, 1, 3)
+
+    def close(axis, v):
+        return lambda x: np.isclose(x[:, axis], v)
+
+    bc_move = DirichletBC(V.locate_dofs_geometrical(close(0, 1.0), component=0), 0.0)
+    bcs = [
+        DirichletBC(V.locate_dofs_geometrical(close(0, 0.0), component=0), 0.0),
+        bc_move,
+        DirichletBC(V.locate_dofs_geometrical(close(1, 0.0), component=1), 0.0),
+        DirichletBC(V.locate_dofs_geometrical(close(2, 0.0), component=2), 0.0),
+    ]
+    return mesh, V, bcs, bc_move
+
+
+@pytest.mark.parametrize("cell_type", ["hex", "tetra"])
+def test_geometry_dedup_flag(cell_type):
+    mesh, V, _, _ = setup(cell_type)
+    geo = build_packed_geometry(V, 2, Constraint.FULL)
+    if cell_type == "hex":
+        assert geo.uniform  # structured grid: one Jacobian for all cells
+        assert geo.dN.shape == (8, 3, 8)
+    else:
+        assert not geo.uniform  # Kuhn tets have 6 distinct shapes
+
+
+@pytest.mark.parametrize("cell_type", ["hex", "tetra"])
+def test_packed_ops_match_aos(cell_type):
+    """grad/strain/residual/matvec/diag agree with fem.assembly on random data."""
+    from fenics_constitutive_tpu.fem.assembly import (
+        assemble_jacobi_diag,
+        assemble_residual,
+        grad_at_qp,
+        tangent_matvec,
+    )
+
+    mesh, V, bcs, _ = setup(cell_type)
+    q = 2
+    law = LinearElasticityModel({"E": 42.0, "nu": 0.3}, Constraint.FULL)
+    problem = IncrSmallStrainProblem(law, V, bcs, q)
+    dofmap, geo_aos, cells = problem._law_data[0]
+    geo = build_packed_geometry(V, q, Constraint.FULL)
+
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.normal(size=V.ndofs) * 1e-3)
+
+    # gradient: AoS [C, Q, g, g] vs packed [g, j, N] with N = q*C + c
+    g_aos = np.asarray(grad_at_qp(u, dofmap, geo_aos))  # [C, Q, i, j]
+    g_soa = np.asarray(packed_grad(u, geo))  # [i, j, N]
+    C, Q = g_aos.shape[0], g_aos.shape[1]
+    g_soa_r = g_soa.reshape(3, 3, Q, C).transpose(3, 2, 0, 1)
+    np.testing.assert_allclose(g_soa_r, g_aos, atol=1e-14)
+
+    # residual from a random Mandel stress field
+    sig_aos = jnp.asarray(rng.normal(size=(C, Q, 6)))
+    sig_soa = jnp.asarray(np.asarray(sig_aos).transpose(2, 1, 0).reshape(6, Q * C))
+    r_aos = np.asarray(
+        assemble_residual(sig_aos, dofmap, geo_aos, Constraint.FULL, V.ndofs)
+    )
+    r_soa = np.asarray(packed_residual(sig_soa, geo))
+    np.testing.assert_allclose(r_soa, r_aos, rtol=1e-12, atol=1e-12)
+
+    # matvec + jacobi with an isotropic factored tangent vs its dense AoS form
+    N = Q * C
+    beta = jnp.asarray(rng.uniform(1.0, 2.0, N))
+    gamma = jnp.asarray(rng.uniform(0.1, 0.5, N))
+    nvec = rng.normal(size=(6, N))
+    nvec = jnp.asarray(nvec / np.linalg.norm(nvec, axis=0))
+    tg = IsotropicTangent(kappa=jnp.asarray(3.0), beta=beta, gamma=gamma, n=nvec)
+    dense = np.asarray(tg.full_matrix())  # [6, 6, N]
+    dense_aos = jnp.asarray(dense.transpose(2, 0, 1).reshape(Q, C, 6, 6).transpose(1, 0, 2, 3))
+    v = jnp.asarray(rng.normal(size=V.ndofs))
+    av_aos = np.asarray(
+        tangent_matvec(v, dense_aos, dofmap, geo_aos, Constraint.FULL, V.ndofs)
+    )
+    av_soa = np.asarray(packed_matvec(v, tg, geo))
+    np.testing.assert_allclose(av_soa, av_aos, rtol=1e-11, atol=1e-11)
+
+    d_aos = np.asarray(
+        assemble_jacobi_diag(dense_aos, dofmap, geo_aos, Constraint.FULL, V.ndofs)
+    )
+    d_soa = np.asarray(packed_jacobi_diag(tg, geo))
+    np.testing.assert_allclose(d_soa, d_aos, rtol=1e-11, atol=1e-11)
+
+
+@pytest.mark.parametrize("cell_type", ["hex", "tetra"])
+def test_packed_step_matches_problem_solve(cell_type):
+    """Full multi-step plasticity: packed jitted step == AoS interactive solve."""
+    import jax
+
+    mesh, V, bcs, bc_move = setup(cell_type)
+    q = 2
+    law = VonMises3D(MAT)
+
+    problem = IncrSmallStrainProblem(law, V, bcs, q)
+    geos, models, state = build_packed_problem(V, law, q)
+    step = make_packed_step(geos, newton_rtol=1e-12, cg_rtol=1e-14)
+    jitted = jax.jit(step)
+
+    for k in range(1, 4):
+        disp = 0.015 * k
+        bc_move.value = disp
+        niter, converged = problem.solve()
+        assert converged
+        problem.update()
+
+        bc_dofs, bc_vals = combine_bcs(bcs)
+        state, stats = jitted(
+            models,
+            state,
+            jnp.asarray(bc_dofs),
+            jnp.asarray(bc_vals, state.u.dtype),
+            jnp.zeros(V.ndofs, state.u.dtype),
+            jnp.asarray(1.0, state.u.dtype),
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(state.u), np.asarray(problem.u), rtol=1e-10, atol=1e-12
+    )
+    # stress fields agree (packed is [6, N] q-major; AoS is [C, Q, 6])
+    C, Q = problem._stress_prev.shape[0], problem._stress_prev.shape[1]
+    s_soa = np.asarray(state.stress[0]).reshape(6, Q, C).transpose(2, 1, 0)
+    np.testing.assert_allclose(
+        s_soa, np.asarray(problem._stress_prev), rtol=1e-8, atol=1e-8
+    )
+    alpha = np.asarray(state.histories[0]["alpha"])
+    assert alpha.max() > 0  # plasticity happened
