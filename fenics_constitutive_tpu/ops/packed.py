@@ -83,10 +83,17 @@ class PackedGeometry:
     def N(self) -> int:
         return self.n_qp * self.n_cells
 
+    def qp_shape(self, k: int) -> tuple:
+        """Shape of a k-component QP field in this engine's native layout."""
+        return (k, self.N)
+
     # method interface shared with ops.structured.StructuredGeometry so the
     # solver is layout-agnostic
     def grad(self, u: jnp.ndarray) -> jnp.ndarray:
         return packed_grad(u, self)
+
+    def strain(self, u: jnp.ndarray) -> jnp.ndarray:
+        return packed_strain(packed_grad(u, self), self.constraint)
 
     def residual(self, sigma: jnp.ndarray) -> jnp.ndarray:
         return packed_residual(sigma, self)
@@ -276,25 +283,27 @@ class IsotropicTangent:
     n: jnp.ndarray
 
     def apply(self, eps: jnp.ndarray) -> jnp.ndarray:
-        """[s, N] -> [s, N]."""
-        tr = eps[:3].sum(axis=0)
-        i2 = jnp.concatenate(
-            [jnp.ones((3,) + tr.shape, eps.dtype), jnp.zeros((3,) + tr.shape, eps.dtype)]
-        )
-        dev = eps - (tr / 3.0) * i2
+        """[s, N] -> [s, N].
+
+        Expanded as beta*eps + ((kappa - beta/3) tr) on the diagonal slots +
+        gamma (n.eps) n — no identity/deviator temporaries, so XLA fuses this
+        into ~3 passes over [6, N].
+        """
+        tr = eps[0] + eps[1] + eps[2]
         ndote = (self.n * eps).sum(axis=0)
-        return self.kappa * tr * i2 + self.beta * dev + self.gamma * ndote * self.n
+        out = self.beta * eps + (self.gamma * ndote) * self.n
+        return out.at[:3].add((self.kappa - self.beta / 3.0) * tr)
 
     def quad_diag(self, B: jnp.ndarray) -> jnp.ndarray:
-        """B^T C B for B [s, vs, N] -> [vs, N]."""
-        trB = B[:3].sum(axis=0)  # [vs, N]
-        dev = B - (trB / 3.0)[None] * jnp.concatenate(
-            [jnp.ones((3,) + trB.shape, B.dtype), jnp.zeros((3,) + trB.shape, B.dtype)]
-        )
-        ndotB = jnp.einsum("sN,svN->vN", self.n, B)
+        """B^T C B for B [s, vs, *qp] -> [vs, *qp] (qp axes broadcastable).
+
+        Uses dev(B):dev(B) = B:B - tr(B)^2/3 to avoid an [s, vs, *qp] deviator."""
+        trB = B[0] + B[1] + B[2]  # [vs, *qp]
+        BB = (B * B).sum(axis=0)
+        ndotB = (self.n[:, None] * B).sum(axis=0)
         return (
             self.kappa * trB**2
-            + self.beta * jnp.einsum("svN,svN->vN", dev, dev)
+            + self.beta * (BB - trB**2 / 3.0)
             + self.gamma * ndotB**2
         )
 
@@ -317,7 +326,7 @@ class DenseTangent:
     C: jnp.ndarray
 
     def apply(self, eps: jnp.ndarray) -> jnp.ndarray:
-        return jnp.einsum("stN,tN->sN", self.C, eps)
+        return jnp.einsum("st...,t...->s...", self.C, eps)
 
     def quad_diag(self, B: jnp.ndarray) -> jnp.ndarray:
-        return jnp.einsum("svN,stN,tvN->vN", B, self.C, B)
+        return jnp.einsum("sv...,st...,tv...->v...", B, self.C, B)

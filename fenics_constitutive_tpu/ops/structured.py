@@ -1,20 +1,30 @@
-"""Structured-grid fast path: gather-free stencil assembly.
+"""Structured-grid fast path: FEM kinematics/assembly as MXU convolutions.
 
-XLA's generic gather/scatter is the one FEM primitive that maps poorly onto
-TPU (measured ~23 ms for a 397k x 24 dof gather on v5e — slower than the
-entire 1M-QP constitutive update). On a structured tensor grid the
-element<->node incidence is a fixed stencil, so:
+XLA's generic gather/scatter maps poorly onto TPU (measured ~23 ms for a
+397k x 24 dof gather on v5e), and shifted slice-adds on a 3-D node grid cost
+~0.5 ms each as dynamic-update-slices. On a structured tensor grid both sides
+of the element loop are size-2^d stencils, i.e. convolutions — and because the
+Mandel strain operator and the quadrature weights are LINEAR, they fold into
+the conv kernels:
 
-  * the dof gather  u_e[a] = u[dofmap[:, a]]  becomes an axis-aligned SLICE of
-    the displacement grid (zero-copy view for XLA),
-  * the residual scatter-add becomes 8 shifted slice-adds into the result grid
-    (pure elementwise adds),
-  * all cells share one Jacobian, so dN/dx is a tiny [n, g, Q] constant and
-    the gradient contraction is a genuine MXU matmul.
+  * strain:    eps[(s,q), cell] = sum_{a,i,j} M[s,i,j] dN[a,i,q] u[j, cell+off_a]
+               == conv(u_grid, KEPS): one MXU op from displacements straight
+               to Mandel strains;
+  * assembly:  r[j, node] = sum_{s,q,a,i} M[s,i,j] dN[a,i,q] w_q sig[(s,q), node-off_a]
+               == conv(sig, KDIV) with padding 1 (KDIV is KEPS mirrored and
+               weight-scaled): one MXU op straight from Mandel stresses to
+               assembled nodal forces.
 
-This is the production path for the benchmark meshes and any box-structured
-domain; `ops.packed.PackedGeometry` remains the general-mesh path with
-identical semantics (pinned in tests/solver/test_packed.py).
+Everything between the two convs (the constitutive update, the factored
+tangent apply) is elementwise and runs IN the conv-native layout
+``[comp, Q, *grid]`` — no transposes, pads, or retiling copies anywhere in
+the CG matvec (these dominated the profile before this folding).
+
+All cells share one Jacobian on these grids, so dN/w are compile-time kernel
+constants. `ops.packed.PackedGeometry` remains the general-mesh path with
+identical semantics (pinned by tests/solver/test_packed.py); QP fields there
+are [comp, N] with N = Q*C q-major — the grid layout here flattens to exactly
+that ordering, so observation code can reshape freely.
 """
 
 from __future__ import annotations
@@ -35,20 +45,24 @@ __all__ = ["StructuredGeometry", "build_structured_geometry"]
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["dN", "w"],
-    meta_fields=["grid", "vs", "ndofs", "constraint", "n_nodes", "n_qp", "n_cells"],
+    data_fields=["KEPS", "KDIV", "KSCAT"],
+    meta_fields=[
+        "grid", "vs", "ndofs", "constraint", "n_nodes", "n_qp", "n_cells",
+        "dN_host", "w_host",
+    ],
 )
 @dataclass(frozen=True)
 class StructuredGeometry:
-    """Uniform-cell tensor-grid geometry.
+    """Uniform-cell tensor-grid geometry with conv-folded tabulation.
 
-    dN: [n, g, Q] physical shape gradients (identical for every cell)
-    w:  [Q] quadrature weight x |detJ| (identical for every cell)
-    grid: cell counts per axis, e.g. (nx, ny, nz)
+    KEPS:  [(s,q) out, vs in, 2^d]    u-grid -> Mandel strain conv kernel
+    KDIV:  [vs out, (s,q) in, 2^d]    Mandel stress -> nodal force conv kernel
+    KSCAT: [vs out, (a,vs) in, 2^d]   corner scatter (Jacobi diagonal)
     """
 
-    dN: jnp.ndarray
-    w: jnp.ndarray
+    KEPS: jnp.ndarray
+    KDIV: jnp.ndarray
+    KSCAT: jnp.ndarray
     grid: tuple
     vs: int
     ndofs: int
@@ -56,6 +70,8 @@ class StructuredGeometry:
     n_nodes: int
     n_qp: int
     n_cells: int
+    dN_host: tuple  # [n][g][Q] nested tuples (hashable host constants)
+    w_host: tuple
 
     @property
     def N(self) -> int:
@@ -65,102 +81,101 @@ class StructuredGeometry:
     def uniform(self) -> bool:
         return True
 
-    # -- stencil kinematics ---------------------------------------------------
+    @property
+    def gdim(self) -> int:
+        return len(self.grid)
 
-    def _corner_offsets(self):
-        dims = len(self.grid)
-        # local node a = dx + 2 dy + 4 dz (x fastest), matching mesh.py
-        return [
-            tuple((a >> d) & 1 for d in range(dims)) for a in range(2**dims)
-        ]
+    @property
+    def sdim(self) -> int:
+        return self.constraint.stress_strain_dim
+
+    def qp_shape(self, k: int) -> tuple:
+        """Shape of a k-component QP field in this engine's native layout."""
+        return (k, self.n_qp, *self.grid)
+
+    # -- conv plumbing --------------------------------------------------------
+
+    def _dimnums(self):
+        sp = "DHW"[3 - self.gdim :]
+        return (f"NC{sp}", f"OI{sp}", f"NC{sp}")
+
+    def _conv(self, x, k, padding):
+        return jax.lax.conv_general_dilated(
+            x[None],
+            k.astype(x.dtype),
+            window_strides=(1,) * self.gdim,
+            padding=padding,
+            dimension_numbers=self._dimnums(),
+            preferred_element_type=x.dtype,
+        )[0]
 
     def _u_grid(self, u: jnp.ndarray) -> jnp.ndarray:
+        """[ndofs] (node-major) -> [vs, *node_grid]."""
         shape = tuple(g + 1 for g in self.grid) + (self.vs,)
-        return u.reshape(shape)
+        ug = u.reshape(shape)
+        perm = (self.gdim,) + tuple(range(self.gdim))
+        return ug.transpose(perm)
 
-    def _cell_slices(self, ug: jnp.ndarray, off) -> jnp.ndarray:
-        """[*grid, vs] block of node values at a given corner offset."""
-        idx = tuple(
-            slice(o, o + g) for o, g in zip(off, self.grid)
-        )
-        return ug[idx]
+    # -- engine interface ------------------------------------------------------
+
+    def strain(self, u: jnp.ndarray) -> jnp.ndarray:
+        """Mandel strain of a dof vector: [s, Q, *grid]."""
+        out = self._conv(self._u_grid(u), self.KEPS, "VALID")
+        return out.reshape(self.sdim, self.n_qp, *self.grid)
 
     def grad(self, u: jnp.ndarray) -> jnp.ndarray:
-        """[g, vs, N] displacement gradient, grad[i, j] = d u_j / d x_i."""
+        """Full displacement gradient [g, vs, N] (observation/debug path;
+        the hot path uses `strain` directly)."""
+        # reconstruct from corner slices (not conv-folded; rarely used)
         ug = self._u_grid(u)
-        g_dim = self.dN.shape[1]
-        ues = jnp.stack(
-            [
-                self._cell_slices(ug, off).reshape(self.n_cells, self.vs)
-                for off in self._corner_offsets()
-            ],
-            axis=0,
-        )  # [n, C, vs]
-        # contraction over the n=8 corners: an MXU-shaped matmul
-        out = jnp.einsum(
-            "ngq,ncj->gjqc", self.dN, ues, preferred_element_type=u.dtype
-        )
-        return out.reshape(g_dim, self.vs, self.N)
-
-    def assemble(self, sig_w: jnp.ndarray) -> jnp.ndarray:
-        """sigma-tensor x weight [g, vs, N] -> assembled dof vector [ndofs]."""
-        g_dim = sig_w.shape[0]
-        s4 = sig_w.reshape(g_dim, self.vs, self.n_qp, self.n_cells)
-        # f[n, C, vs] = sum_{i,q} dN[n, i, q] sig_w[i, vs, q, C]
-        f = jnp.einsum(
-            "niq,ivqc->ncv", self.dN, s4, preferred_element_type=sig_w.dtype
-        )
-        node_shape = tuple(g + 1 for g in self.grid) + (self.vs,)
-        r = jnp.zeros(node_shape, sig_w.dtype)
-        for a, off in enumerate(self._corner_offsets()):
-            idx = tuple(slice(o, o + g) for o, g in zip(off, self.grid))
-            r = r.at[idx].add(f[a].reshape(self.grid + (self.vs,)))
-        return r.reshape(-1)
+        dN = np.asarray(self.dN_host)
+        out = 0.0
+        for a, off in enumerate(_corner_offsets(self.gdim)):
+            sl = (slice(None),) + tuple(slice(o, o + g) for o, g in zip(off, self.grid))
+            ue = ug[sl].reshape(self.vs, self.n_cells)  # [j, C]
+            out = out + jnp.asarray(dN[a], ue.dtype)[:, :, None, None] * ue[None, None]
+        # out: [g, Q, j, C] -> [g, j, N]
+        return out.transpose(0, 2, 1, 3).reshape(self.gdim, self.vs, self.N)
 
     def residual(self, sigma: jnp.ndarray) -> jnp.ndarray:
-        """r = integral eps_m(v) . sigma; sigma [s, N]."""
-        M = jnp.asarray(mandel._mandel_matrix_map(self.constraint), sigma.dtype)
-        sig_t = jnp.einsum("sij,sN->ijN", M, sigma)
-        # q-major weight layout to match the [.., Q, C] reshape in assemble
-        wN = jnp.broadcast_to(
-            self.w[:, None], (self.n_qp, self.n_cells)
-        ).reshape(self.N)
-        return self.assemble(sig_t * wN)
-
-    def jacobi_diag(self, tangent) -> jnp.ndarray:
-        M = jnp.asarray(mandel._mandel_matrix_map(self.constraint), self.w.dtype)
-        node_shape = tuple(g + 1 for g in self.grid) + (self.vs,)
-        r = jnp.zeros(node_shape, self.w.dtype)
-        wN = jnp.broadcast_to(
-            self.w[:, None], (self.n_qp, self.n_cells)
-        ).reshape(self.N)
-        for a, off in enumerate(self._corner_offsets()):
-            dn_a = jnp.broadcast_to(
-                self.dN[a][:, :, None],
-                (self.dN.shape[1], self.n_qp, self.n_cells),
-            ).reshape(self.dN.shape[1], self.N)
-            B_a = jnp.einsum("sij,iN->sjN", M, dn_a)  # [s, vs, N]
-            q = tangent.quad_diag(B_a) * wN  # [vs, N]
-            contrib = (
-                q.reshape(self.vs, self.n_qp, self.n_cells)
-                .sum(axis=1)
-                .T.reshape(self.grid + (self.vs,))
-            )
-            idx = tuple(slice(o, o + g) for o, g in zip(off, self.grid))
-            r = r.at[idx].add(contrib)
-        return r.reshape(-1)
+        """r = integral eps_m(v) . sigma; sigma [s, Q, *grid] -> [ndofs]."""
+        x = sigma.reshape(self.sdim * self.n_qp, *self.grid)
+        r = self._conv(x, self.KDIV, [(1, 1)] * self.gdim)  # [vs, *node_grid]
+        perm = tuple(range(1, self.gdim + 1)) + (0,)
+        return r.transpose(perm).reshape(-1)
 
     def matvec(self, v: jnp.ndarray, tangent) -> jnp.ndarray:
-        from .packed import packed_strain
+        return self.residual(tangent.apply(self.strain(v)))
 
-        eps_v = packed_strain(self.grad(v), self.constraint)
-        return self.residual(tangent.apply(eps_v))
+    def jacobi_diag(self, tangent) -> jnp.ndarray:
+        M = jnp.asarray(mandel._mandel_matrix_map(self.constraint), self.KEPS.dtype)
+        n, g, Q = self.n_nodes, self.gdim, self.n_qp
+        dN = jnp.asarray(np.asarray(self.dN_host), self.KEPS.dtype)  # [n, g, Q]
+        w = jnp.asarray(np.asarray(self.w_host), self.KEPS.dtype)  # [Q]
+        ones = (1,) * g
+        contribs = []
+        for a in range(n):
+            # B_a[s, vs, Q] broadcast over the cell grid
+            B_a = jnp.einsum("sij,iq->sjq", M, dN[a]).reshape(
+                self.sdim, self.vs, Q, *ones
+            )
+            q = tangent.quad_diag(B_a) * w.reshape(Q, *ones)  # [vs, Q, *grid]
+            contribs.append(q.sum(axis=1))  # [vs, *grid]
+        x = jnp.stack(contribs, axis=0).reshape(n * self.vs, *self.grid)
+        d = self._conv(x, self.KSCAT, [(1, 1)] * self.gdim)
+        perm = tuple(range(1, self.gdim + 1)) + (0,)
+        return d.transpose(perm).reshape(-1)
+
+
+def _corner_offsets(gdim: int):
+    """local node a = dx + 2 dy + 4 dz (x fastest), matching mesh.py."""
+    return [tuple((a >> d) & 1 for d in range(gdim)) for a in range(2**gdim)]
 
 
 def build_structured_geometry(
     space, q_degree: int, constraint: Constraint, dtype=None
 ) -> StructuredGeometry:
-    """Structured geometry for a box mesh produced by unit_cube_mesh('hex') /
+    """Conv-kernel geometry for a box mesh from unit_cube_mesh('hex') /
     unit_square_mesh('quad') (requires mesh.structured_shape metadata)."""
     from ..fem.elements import tabulate_element
     from ..fem.kinematics import _geometry_grad_at
@@ -179,17 +194,60 @@ def build_structured_geometry(
     J = np.einsum("vi,qvj->qij", verts, geom_dN)
     detJ = np.abs(np.linalg.det(J))
     Jinv = np.linalg.inv(J)
-    dN_dx = np.einsum("qaj,qji->qai", elem.dN_dxi, Jinv)  # [Q, n, g]
-    w = quad.weights * detJ
+    dN = np.einsum("qaj,qji->aiq", elem.dN_dxi, Jinv)  # [n, g, Q]
+    w = quad.weights * detJ  # [Q]
+
+    gdim = len(grid)
+    sdim = constraint.stress_strain_dim
+    n = elem.N.shape[1]
+    Q = quad.points.shape[0]
+    vs = space.value_size
+    offs = _corner_offsets(gdim)
+    ksp = (2,) * gdim
+    M = mandel._mandel_matrix_map(constraint)  # [s, g, g]
+
+    # KEPS: VALID conv, out[c] = sum_k K[k] u[c + k]; channel order (s, q) so
+    # the output reshapes straight to [s, Q, *grid].
+    KEPS = np.zeros((sdim * Q, vs, *ksp))
+    for a, off in enumerate(offs):
+        for s in range(sdim):
+            for q in range(Q):
+                for j in range(vs):
+                    coef = sum(M[s, i, j] * dN[a, i, q] for i in range(gdim))
+                    KEPS[s * Q + q, j][off] += coef
+
+    # KDIV: padding-1 conv, out[p] = sum_k K[k] x[p + k - 1]; cell c feeds node
+    # p = c + off via k = 1 - off (mirrored). M^T and w fold in.
+    KDIV = np.zeros((vs, sdim * Q, *ksp))
+    for a, off in enumerate(offs):
+        koff = tuple(1 - o for o in off)
+        for s in range(sdim):
+            for q in range(Q):
+                for j in range(vs):
+                    coef = sum(M[s, i, j] * dN[a, i, q] for i in range(gdim))
+                    KDIV[j, s * Q + q][koff] += coef * w[q]
+
+    # KSCAT: plain mirrored corner scatter for per-(a, vs) cell fields.
+    KSCAT = np.zeros((vs, n * vs, *ksp))
+    for a, off in enumerate(offs):
+        koff = tuple(1 - o for o in off)
+        for j in range(vs):
+            KSCAT[j, a * vs + j][koff] = 1.0
+
+    def _tup(x):
+        return tuple(map(_tup, x)) if isinstance(x, np.ndarray) and x.ndim else float(x)
 
     return StructuredGeometry(
-        dN=jnp.asarray(dN_dx.transpose(1, 2, 0), dtype),
-        w=jnp.asarray(w, dtype),
+        KEPS=jnp.asarray(KEPS, dtype),
+        KDIV=jnp.asarray(KDIV, dtype),
+        KSCAT=jnp.asarray(KSCAT, dtype),
         grid=tuple(grid),
-        vs=space.value_size,
+        vs=vs,
         ndofs=space.ndofs,
         constraint=constraint,
-        n_nodes=elem.N.shape[1],
-        n_qp=quad.points.shape[0],
+        n_nodes=n,
+        n_qp=Q,
         n_cells=int(np.prod(grid)),
+        dN_host=_tup(dN),
+        w_host=_tup(w),
     )

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.packed import PackedGeometry, build_packed_geometry, packed_strain
+from ..ops.packed import PackedGeometry, build_packed_geometry
 from ..ops.structured import build_structured_geometry
 from . import linear
 
@@ -60,11 +60,11 @@ def build_packed_problem(space, laws, q_degree, dtype=None):
     geos = tuple(make_geo(np.asarray(cells)) for _, cells in laws)
     models = tuple(m for m, _ in laws)
     sdim = constraint.stress_strain_dim
-    stress = tuple(jnp.zeros((sdim, g.N), dtype) for g in geos)
+    stress = tuple(jnp.zeros(g.qp_shape(sdim), dtype) for g in geos)
     histories = tuple(
         None
         if m.history_dim is None
-        else {k: jnp.zeros((d, g.N), dtype) for k, d in m.history_dim.items()}
+        else {k: jnp.zeros(g.qp_shape(d), dtype) for k, d in m.history_dim.items()}
         for m, g in zip(models, geos)
     )
     state = PackedState(
@@ -94,7 +94,7 @@ def make_packed_step(
         r = -f_ext
         stresses, tangents, hists = [], [], []
         for model, geo, sig0, h0 in zip(models, geos, state.stress, state.histories):
-            eps = packed_strain(geo.grad(du), constraint)
+            eps = geo.strain(du)
             s_new, tg, h_new = model.evaluate_packed(state.t, dt, eps, sig0, h0)
             r = r + geo.residual(s_new)
             stresses.append(s_new)
