@@ -1,5 +1,7 @@
-"""Postprocessing: global norms over quadrature fields and dof vectors."""
+"""Postprocessing: global norms, and point sensors (the reference's
+unimplemented test_sensor.py intent, implemented)."""
 
 from .norms import dof_norm, qp_norm
+from .sensors import DisplacementSensor, QPSensor
 
-__all__ = ["qp_norm", "dof_norm"]
+__all__ = ["qp_norm", "dof_norm", "DisplacementSensor", "QPSensor"]

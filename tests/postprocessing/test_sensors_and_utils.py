@@ -1,0 +1,111 @@
+"""Sensors (the reference's empty test_sensor.py, implemented), checkpoint
+round-trip, and timers."""
+
+import numpy as np
+import pytest
+
+from fenics_constitutive_tpu.fem import DirichletBC, FunctionSpace, unit_cube_mesh
+from fenics_constitutive_tpu.models import VonMises3D
+from fenics_constitutive_tpu.postprocessing import DisplacementSensor, QPSensor
+from fenics_constitutive_tpu.solver import IncrSmallStrainProblem
+from fenics_constitutive_tpu.utils import (
+    get_timings,
+    load_checkpoint,
+    load_state_dict,
+    reset_timings,
+    save_checkpoint,
+    state_dict,
+    timed,
+)
+
+MAT = {
+    "p_ka": 175000.0,
+    "p_mu": 80769.0,
+    "p_y0": 1200.0,
+    "p_y00": 2500.0,
+    "p_w": 200.0,
+}
+
+
+def make_problem():
+    mesh = unit_cube_mesh(2, 2, 2, "tetra")
+    V = FunctionSpace(mesh, 1, 3)
+
+    def close(axis, v):
+        return lambda x: np.isclose(x[:, axis], v)
+
+    bc_move = DirichletBC(V.locate_dofs_geometrical(close(0, 1.0), component=0), 0.0)
+    bcs = [
+        DirichletBC(V.locate_dofs_geometrical(close(0, 0.0), component=0), 0.0),
+        bc_move,
+        DirichletBC(V.locate_dofs_geometrical(close(1, 0.0), component=1), 0.0),
+        DirichletBC(V.locate_dofs_geometrical(close(2, 0.0), component=2), 0.0),
+    ]
+    return IncrSmallStrainProblem(VonMises3D(MAT), V, bcs, 1), bc_move, V
+
+
+def test_displacement_sensor_linear_field():
+    problem, bc_move, V = make_problem()
+    bc_move.value = 0.02
+    problem.solve()
+    problem.update()
+    sensor = DisplacementSensor(V, [[0.5, 0.25, 0.25], [1.0, 0.0, 0.0]])
+    vals = np.asarray(sensor(problem.u))
+    # ux is affine in x for this BVP
+    assert vals[0, 0] == pytest.approx(0.01, rel=1e-8)
+    assert vals[1, 0] == pytest.approx(0.02, rel=1e-12)
+
+
+def test_qp_sensor_reads_stress():
+    problem, bc_move, V = make_problem()
+    bc_move.value = 0.02
+    problem.solve()
+    problem.update()
+    sensor = QPSensor(V, 1, [[0.4, 0.4, 0.4]])
+    s = np.asarray(sensor(problem.stress_0))
+    assert s.shape == (1, 6)
+    # homogeneous state: matches any other QP
+    np.testing.assert_allclose(
+        s[0], np.asarray(problem.stress_0).reshape(-1, 6)[0], rtol=1e-9, atol=1e-9
+    )
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    """Committed state is a resumable snapshot (SURVEY §5.4): a restored run
+    continues bit-identically."""
+    problem, bc_move, V = make_problem()
+    for k in (1, 2):
+        bc_move.value = 0.01 * k
+        problem.solve()
+        problem.update()
+
+    path = tmp_path / "ckpt.npz"
+    save_checkpoint(path, state_dict(problem))
+
+    # continue the original
+    bc_move.value = 0.03
+    problem.solve()
+    problem.update()
+    u_ref = np.asarray(problem.u)
+
+    # fresh problem, resume, continue identically
+    problem2, bc_move2, _ = make_problem()
+    load_state_dict(problem2, load_checkpoint(path))
+    bc_move2.value = 0.03
+    problem2.solve()
+    problem2.update()
+    np.testing.assert_array_equal(np.asarray(problem2.u), u_ref)
+    assert problem2.sim_time.current == problem.sim_time.current
+
+
+def test_timers():
+    reset_timings()
+
+    @timed("unit-test-scope")
+    def f(x):
+        return x + 1
+
+    for _ in range(3):
+        f(1)
+    n, total = get_timings()["unit-test-scope"]
+    assert n == 3 and total >= 0.0
