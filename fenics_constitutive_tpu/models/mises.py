@@ -107,10 +107,16 @@ class VonMises3D(IncrSmallStrainModel):
         # (gamma_prev <- gamma; residual and tangent at gamma_prev; update).
         one = jnp.ones_like(sigtrn)
 
+        # dtype-aware tolerances: the reference's 1e-12/1e-8 (f64) are
+        # unreachable in f32 and would run the loop to its iteration cap
+        eps_m = float(jnp.finfo(stress.dtype).eps)
+        tol_abs = jnp.maximum(self.newton_tol, 8.0 * eps_m * (y0 + sigtrn))
+        tol_rel = max(self.newton_rtol, 8.0 * eps_m)
+
         def active_mask(state):
             gamma_prev, gamma, xr, it = state
-            conv_res = jnp.abs(xr) <= self.newton_tol
-            conv_inc = jnp.abs(gamma - gamma_prev) <= self.newton_rtol * jnp.abs(gamma)
+            conv_res = jnp.abs(xr) <= tol_abs
+            conv_inc = jnp.abs(gamma - gamma_prev) <= tol_rel * jnp.abs(gamma)
             return plastic & ~conv_res & ~conv_inc
 
         def cond(state):

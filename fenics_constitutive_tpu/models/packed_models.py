@@ -69,10 +69,15 @@ def _vonmises_evaluate_packed(self, t, dt, eps, stress, history):
 
     one = jnp.ones_like(sigtrn)
 
+    # dtype-aware tolerances (see models/mises.py note)
+    eps_m = float(jnp.finfo(stress.dtype).eps)
+    tol_abs = jnp.maximum(self.newton_tol, 8.0 * eps_m * (y0 + sigtrn))
+    tol_rel = max(self.newton_rtol, 8.0 * eps_m)
+
     def active(state):
         g_prev, g, xr, it = state
-        return plastic & (jnp.abs(xr) > self.newton_tol) & (
-            jnp.abs(g - g_prev) > self.newton_rtol * jnp.abs(g)
+        return plastic & (jnp.abs(xr) > tol_abs) & (
+            jnp.abs(g - g_prev) > tol_rel * jnp.abs(g)
         )
 
     def cond(state):

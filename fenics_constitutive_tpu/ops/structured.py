@@ -116,7 +116,41 @@ class StructuredGeometry:
         perm = (self.gdim,) + tuple(range(self.gdim))
         return ug.transpose(perm)
 
-    # -- engine interface ------------------------------------------------------
+    # -- grid-major dof ordering ----------------------------------------------
+    # The public dof layout is node-major ([*nodes, vs] flattened, matching
+    # FunctionSpace). Internally every conv wants component-major
+    # ([vs, *nodes]); converting per matvec costs two retiling copies per CG
+    # iteration — measured comparable to the convs themselves. The solver
+    # therefore runs CG in GRID-MAJOR flat vectors (reshape = free) and
+    # converts once per Newton step via to_grid_major/to_node_major.
+
+    def to_grid_major(self, u: jnp.ndarray) -> jnp.ndarray:
+        return self._u_grid(u).reshape(-1)
+
+    def to_node_major(self, u_gm: jnp.ndarray) -> jnp.ndarray:
+        g = u_gm.reshape((self.vs,) + tuple(s + 1 for s in self.grid))
+        perm = tuple(range(1, self.gdim + 1)) + (0,)
+        return g.transpose(perm).reshape(-1)
+
+    def strain_gm(self, u_gm: jnp.ndarray) -> jnp.ndarray:
+        """Mandel strain of a grid-major dof vector: [s, Q, *grid]."""
+        g = u_gm.reshape((self.vs,) + tuple(s + 1 for s in self.grid))
+        out = self._conv(g, self.KEPS, "VALID")
+        return out.reshape(self.sdim, self.n_qp, *self.grid)
+
+    def residual_gm(self, sigma: jnp.ndarray) -> jnp.ndarray:
+        """sigma [s, Q, *grid] -> grid-major assembled force [ndofs]."""
+        x = sigma.reshape(self.sdim * self.n_qp, *self.grid)
+        r = self._conv(x, self.KDIV, [(1, 1)] * self.gdim)
+        return r.reshape(-1)
+
+    def matvec_gm(self, v_gm: jnp.ndarray, tangent) -> jnp.ndarray:
+        return self.residual_gm(tangent.apply(self.strain_gm(v_gm)))
+
+    def jacobi_diag_gm(self, tangent) -> jnp.ndarray:
+        return self.to_grid_major(self.jacobi_diag(tangent))
+
+    # -- engine interface (node-major public semantics) -------------------------
 
     def strain(self, u: jnp.ndarray) -> jnp.ndarray:
         """Mandel strain of a dof vector: [s, Q, *grid]."""
@@ -159,7 +193,10 @@ class StructuredGeometry:
             B_a = jnp.einsum("sij,iq->sjq", M, dN[a]).reshape(
                 self.sdim, self.vs, Q, *ones
             )
-            q = tangent.quad_diag(B_a) * w.reshape(Q, *ones)  # [vs, Q, *grid]
+            q = tangent.quad_diag(B_a) * w.reshape(Q, *ones)
+            # broadcast explicitly: constant (scalar-coefficient) tangents keep
+            # q at singleton grid dims
+            q = jnp.broadcast_to(q, (self.vs, Q, *self.grid))
             contribs.append(q.sum(axis=1))  # [vs, *grid]
         x = jnp.stack(contribs, axis=0).reshape(n * self.vs, *self.grid)
         d = self._conv(x, self.KSCAT, [(1, 1)] * self.gdim)

@@ -26,14 +26,16 @@ def cg_solve(
     atol: float = 0.0,
     maxiter: int | None = None,
     dot: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] = None,
+    precond: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Solve A x = b with Jacobi-preconditioned CG.
+    """Solve A x = b with preconditioned CG.
 
     Args:
         matvec: SPD operator action.
         b: right-hand side.
         diag: diagonal of A for Jacobi preconditioning (None = identity).
         dot: inner product (overridable with a psum-ing version when sharded).
+        precond: explicit M^-1 apply (e.g. a multigrid V-cycle); overrides diag.
 
     Returns:
         (x, n_iterations).
@@ -42,10 +44,9 @@ def cg_solve(
         dot = lambda a, c: jnp.vdot(a, c)
     n = b.shape[0]
     maxiter = maxiter if maxiter is not None else 10 * n
-    inv_diag = 1.0 if diag is None else jnp.where(diag != 0.0, 1.0 / diag, 1.0)
-
-    def precond(r):
-        return r * inv_diag
+    if precond is None:
+        inv_diag = 1.0 if diag is None else jnp.where(diag != 0.0, 1.0 / diag, 1.0)
+        precond = lambda r: r * inv_diag
 
     b_norm2 = dot(b, b)
     tol2 = jnp.maximum(rtol * rtol * b_norm2, atol * atol)

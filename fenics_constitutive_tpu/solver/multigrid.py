@@ -1,0 +1,289 @@
+"""Geometric multigrid preconditioner for structured grids.
+
+The reference delegates its linear solves to PETSc KSP with whatever
+preconditioner dolfinx configures; at 1M+ QPs a Jacobi-preconditioned CG
+needs hundreds of iterations per Newton step (measured: 325 for rtol 1e-6 on
+the 50^3 benchmark). This module provides a matrix-free geometric V-cycle
+built entirely from convolutions on the node grid:
+
+  * level operators: the CONSTANT-COEFFICIENT elastic operator per level
+    (2 mu P_dev + 3 kappa P_vol), applied through the same conv-folded
+    KEPS/KDIV kernels as the fine-grid matvec — spectrally equivalent to the
+    consistent elastoplastic tangent (plastic softening is bounded), which is
+    what a preconditioner needs;
+  * transfer: trilinear prolongation (stride-2 transposed conv, kernel
+    [1/2, 1, 1/2]^d) and its scaled adjoint as restriction — depthwise convs
+    over the displacement components;
+  * smoother: damped Jacobi with the level's constant elastic diagonal;
+  * Dirichlet dofs are projected out at the fine level only.
+
+Used as the M^-1 of CG (solver/linear.cg_solve's `diag` generalized to a
+callable preconditioner in make_packed_step(multigrid=...)).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.packed import IsotropicTangent
+from ..ops.structured import StructuredGeometry
+
+__all__ = ["build_multigrid", "MultigridPreconditioner"]
+
+
+def _transfer_kernels(vs: int, gdim: int, dtype):
+    """Depthwise trilinear kernels [vs, vs, 3^d]: diag in channels."""
+    k1 = np.array([0.5, 1.0, 0.5])
+    k = k1
+    for _ in range(gdim - 1):
+        k = np.multiply.outer(k, k1)
+    K = np.zeros((vs, vs) + (3,) * gdim)
+    for j in range(vs):
+        K[j, j] = k
+    return jnp.asarray(K, dtype)
+
+
+def _coarse_len(L: int) -> int:
+    return (L - 1) // 2 + 1
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["geos", "diags", "frees", "K_transfer"],
+    meta_fields=[
+        "node_grids", "vs", "n_levels", "omega", "nu", "coarse_iters",
+        "mu", "kappa",
+    ],
+)
+@dataclass(frozen=True)
+class MultigridPreconditioner:
+    geos: tuple  # per-level StructuredGeometry (elastic operator carrier)
+    diags: tuple  # per-level Jacobi diagonal of the elastic operator [ndofs_l]
+    frees: tuple  # per-level free-dof masks (Dirichlet dofs injected coarse)
+    K_transfer: jnp.ndarray  # depthwise trilinear kernel
+    node_grids: tuple  # per-level node-grid shapes
+    vs: int
+    n_levels: int
+    omega: float
+    nu: int
+    coarse_iters: int
+    mu: float
+    kappa: float
+
+    # -- grid <-> flat (GRID-MAJOR dof vectors: reshapes only, no copies) ------
+    def _to_grid(self, x, lvl):
+        return x.reshape((1, self.vs) + self.node_grids[lvl])  # [1, vs, *grid]
+
+    def _to_flat(self, g, lvl):
+        del lvl
+        return g.reshape(-1)
+
+    def _dimnums(self, gdim):
+        sp = "DHW"[3 - gdim:]
+        return (f"NC{sp}", f"OI{sp}", f"NC{sp}")
+
+    def restrict(self, x_fine, lvl):
+        """fine level lvl -> coarse level lvl+1.
+
+        R = P^T exactly (no 1/2^d scaling): residuals are integrated
+        functionals, and for nested linear FEM bases A_coarse(rediscretized)
+        == P^T A_fine P, so the Galerkin condition holds with this pairing.
+        """
+        gdim = len(self.node_grids[lvl])
+        g = self._to_grid(x_fine, lvl)
+        out = jax.lax.conv_general_dilated(
+            g,
+            self.K_transfer.astype(g.dtype),
+            window_strides=(2,) * gdim,
+            padding=[(1, 1)] * gdim,
+            dimension_numbers=self._dimnums(gdim),
+            preferred_element_type=g.dtype,
+        )
+        return self._to_flat(out, lvl + 1)
+
+    def prolong(self, x_coarse, lvl):
+        """coarse level lvl+1 -> fine level lvl (trilinear interpolation).
+
+        Implemented as a fractionally-strided (lhs-dilated) conv: out length =
+        (2 Lc - 1) + lo + hi - 2, so pads (1, Lf - 2 Lc + 2) hit the fine size
+        exactly. For nested levels (Lf = 2 Lc - 1) this is (1, 1) and the
+        operator is exactly P = R^T; on non-nested (even) levels the extra
+        high-side pad extrapolates one row — a negligible asymmetry for a
+        preconditioner.
+        """
+        gdim = len(self.node_grids[lvl])
+        fine = self.node_grids[lvl]
+        g = self._to_grid(x_coarse, lvl + 1)
+        pads = [
+            (1, Lf - 2 * Lc + 2)
+            for Lf, Lc in zip(fine, self.node_grids[lvl + 1])
+        ]
+        out = jax.lax.conv_general_dilated(
+            g,
+            self.K_transfer.astype(g.dtype),
+            window_strides=(1,) * gdim,
+            padding=pads,
+            lhs_dilation=(2,) * gdim,
+            dimension_numbers=self._dimnums(gdim),
+            preferred_element_type=g.dtype,
+        )
+        return self._to_flat(out, lvl)
+
+    # -- level ops -------------------------------------------------------------
+    def _tangent(self, lvl, dtype):
+        del lvl
+        gdim = len(self.node_grids[0])
+        # n must carry the QP-field rank for broadcasting in apply/quad_diag
+        n_shape = (6,) + (1,) * (1 + gdim)
+        return IsotropicTangent(
+            kappa=jnp.asarray(self.kappa, dtype),
+            beta=jnp.asarray(2.0 * self.mu, dtype),
+            gamma=jnp.asarray(0.0, dtype),
+            n=jnp.zeros(n_shape, dtype),
+        )
+
+    def vcycle(self, lvl, b):
+        geo = self.geos[lvl]
+        tg = self._tangent(lvl, b.dtype)
+        free = self.frees[lvl]
+        diag = self.diags[lvl].astype(b.dtype)
+        inv_d = self.omega / diag
+        b = jnp.where(free, b, 0.0)
+
+        def A(v):
+            # constrained (identity-row) elastic operator at this level
+            vm = jnp.where(free, v, 0.0)
+            return jnp.where(free, geo.matvec_gm(vm, tg), v)
+
+        def smooth(x, b_, iters):
+            def body(i, x_):
+                return x_ + jnp.where(free, inv_d * (b_ - A(x_)), 0.0)
+            return jax.lax.fori_loop(0, iters, body, x)
+
+        if lvl == self.n_levels - 1:
+            return smooth(jnp.zeros_like(b), b, self.coarse_iters)
+
+        x = smooth(jnp.zeros_like(b), b, self.nu)
+        r = jnp.where(free, b - A(x), 0.0)
+        xc = self.vcycle(lvl + 1, self.restrict(r, lvl))
+        x = x + jnp.where(free, self.prolong(xc, lvl), 0.0)
+        x = smooth(x, b, self.nu)
+        return x
+
+    def bpx(self, r_gm):
+        """Additive (BPX) multilevel preconditioner apply.
+
+        M^-1 = sum_l P_(0..l) D_l^-1 R_(l..0): diagonal scaling on every
+        level, combined additively. Symmetric positive definite with O(1)
+        multilevel conditioning, and — unlike the multiplicative V-cycle — it
+        costs NO fine-level operator applies: per CG iteration only the
+        transfers and level diagonals, so each preconditioned iteration is
+        barely more expensive than a plain Jacobi one.
+        """
+        contribs = []
+        r = r_gm
+        for lvl in range(self.n_levels):
+            free = self.frees[lvl]
+            r = jnp.where(free, r, 0.0)
+            contribs.append(jnp.where(free, r / self.diags[lvl].astype(r.dtype), 0.0))
+            if lvl < self.n_levels - 1:
+                r = self.restrict(r, lvl)
+        z = contribs[-1]
+        for lvl in range(self.n_levels - 2, -1, -1):
+            z = contribs[lvl] + jnp.where(
+                self.frees[lvl], self.prolong(z, lvl), 0.0
+            )
+        return z
+
+    def __call__(self, r_gm):
+        """Preconditioner apply M^-1 r at the fine level.
+
+        NOTE: operates on GRID-MAJOR dof vectors ([vs, *node_grid] flattened);
+        the solver converts once per Newton solve (ops/structured.py
+        to_grid_major/to_node_major)."""
+        return self.vcycle(0, r_gm)
+
+
+def build_multigrid(
+    geo: StructuredGeometry,
+    mu: float,
+    kappa: float,
+    free_mask=None,
+    *,
+    omega: float = 0.6,
+    nu: int = 2,
+    coarse_iters: int = 20,
+    min_size: int = 4,
+    dtype=None,
+) -> MultigridPreconditioner:
+    """Build the elastic V-cycle hierarchy below a fine StructuredGeometry.
+
+    ``free_mask``: bool [ndofs] with False at Dirichlet dofs. Constraints are
+    carried to coarse levels by injection (every-other-node), keeping each
+    level's operator nonsingular (without this the coarse problems contain
+    rigid-body modes and the cycle diverges).
+    """
+    from ..fem.spaces import FunctionSpace
+    from ..fem.mesh import Mesh
+    from ..ops.structured import build_structured_geometry
+
+    dtype = dtype or geo.KEPS.dtype
+    vs = geo.vs
+    gdim = geo.gdim
+
+    # level cell grids: halve node counts until small
+    node_grids = [tuple(g + 1 for g in geo.grid)]
+    while min(node_grids[-1]) > min_size + 1:
+        node_grids.append(tuple(_coarse_len(L) for L in node_grids[-1]))
+    cell_grids = [tuple(L - 1 for L in ng) for ng in node_grids]
+
+    def synth_geo(cells):
+        # synthetic uniform box mesh with the same physical extent (h scales
+        # per level; the preconditioner only needs the right operator scaling)
+        from ..fem.mesh import unit_cube_mesh, unit_square_mesh
+
+        if gdim == 3:
+            m = unit_cube_mesh(*cells, "hex")
+        else:
+            m = unit_square_mesh(*cells, "quad")
+        V = FunctionSpace(m, 1, vs)
+        return build_structured_geometry(V, 2, geo.constraint, dtype)
+
+    geos = [geo] + [synth_geo(c) for c in cell_grids[1:]]
+    tangent = IsotropicTangent(
+        kappa=jnp.asarray(kappa, dtype),
+        beta=jnp.asarray(2.0 * mu, dtype),
+        gamma=jnp.asarray(0.0, dtype),
+        n=jnp.zeros((6,) + (1,) * (1 + gdim), dtype),
+    )
+    # per-level free masks (grid-major) by injection on the node grid
+    if free_mask is None:
+        free_mask = jnp.ones(geo.ndofs, bool)
+    frees = [geo.to_grid_major(jnp.asarray(free_mask, bool))]
+    for lvl in range(1, len(node_grids)):
+        fine = frees[-1].reshape((vs,) + node_grids[lvl - 1])
+        sl = (slice(None),) + (slice(None, None, 2),) * gdim
+        frees.append(fine[sl].reshape(-1))
+    diags = tuple(
+        jnp.where(fr, g.jacobi_diag_gm(tangent), 1.0)
+        for g, fr in zip(geos, frees)
+    )
+    return MultigridPreconditioner(
+        geos=tuple(geos),
+        diags=diags,
+        frees=tuple(frees),
+        K_transfer=_transfer_kernels(vs, gdim, dtype),
+        node_grids=tuple(node_grids),
+        vs=vs,
+        n_levels=len(geos),
+        omega=omega,
+        nu=nu,
+        coarse_iters=coarse_iters,
+        mu=float(mu),
+        kappa=float(kappa),
+    )

@@ -84,8 +84,13 @@ def make_packed_step(
     max_newton: int = 25,
     cg_rtol: float = 1e-14,
     cg_maxiter: int = 1000,
+    preconditioner=None,
 ):
-    """Build ``step(models, state, bc_dofs, bc_vals, f_ext, dt) -> (state', stats)``."""
+    """Build ``step(models, state, bc_dofs, bc_vals, f_ext, dt) -> (state', stats)``.
+
+    ``preconditioner``: optional callable M^-1 (e.g. a
+    solver.multigrid.MultigridPreconditioner) replacing Jacobi in the CG.
+    """
     ndofs = geos[0].ndofs
     constraint = geos[0].constraint
 
@@ -102,11 +107,36 @@ def make_packed_step(
             hists.append(h_new)
         return r, tuple(stresses), tuple(tangents), tuple(hists)
 
+    # single-law structured grids run the Krylov loop in GRID-MAJOR dof
+    # ordering: all conv ins/outs become free reshapes, the node-major
+    # transposes happen once per Newton solve instead of twice per CG
+    # iteration (see ops/structured.py to_grid_major).
+    grid_major = len(geos) == 1 and hasattr(geos[0], "matvec_gm")
+
     def linear_solve(tangents, r, free):
-        diag = jnp.zeros_like(r)
-        for geo, tg in zip(geos, tangents):
-            diag = diag + geo.jacobi_diag(tg)
-        diag = jnp.where(free, diag, 1.0)
+        if grid_major:
+            geo, tg = geos[0], tangents[0]
+            r_gm = geo.to_grid_major(jnp.where(free, r, 0.0))
+            free_gm = geo.to_grid_major(free)
+
+            def matvec(v):
+                vm = jnp.where(free_gm, v, 0.0)
+                return jnp.where(free_gm, geo.matvec_gm(vm, tg), v)
+
+            if preconditioner is not None:
+                def precond(rr):
+                    z = preconditioner(jnp.where(free_gm, rr, 0.0))
+                    return jnp.where(free_gm, z, rr)
+
+                delta_gm, k = linear.cg_solve(
+                    matvec, r_gm, rtol=cg_rtol, maxiter=cg_maxiter, precond=precond
+                )
+            else:
+                diag = jnp.where(free_gm, geo.jacobi_diag_gm(tg), 1.0)
+                delta_gm, k = linear.cg_solve(
+                    matvec, r_gm, diag, rtol=cg_rtol, maxiter=cg_maxiter
+                )
+            return geo.to_node_major(delta_gm), k
 
         def matvec(v):
             vm = jnp.where(free, v, 0.0)
@@ -115,6 +145,10 @@ def make_packed_step(
                 out = out + geo.matvec(vm, tg)
             return jnp.where(free, out, v)
 
+        diag = jnp.zeros_like(r)
+        for geo, tg in zip(geos, tangents):
+            diag = diag + geo.jacobi_diag(tg)
+        diag = jnp.where(free, diag, 1.0)
         return linear.cg_solve(
             matvec, jnp.where(free, r, 0.0), diag, rtol=cg_rtol, maxiter=cg_maxiter
         )
