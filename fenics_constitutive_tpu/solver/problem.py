@@ -261,7 +261,24 @@ class IncrSmallStrainProblem:
             delta, _ = self._linear_solve(
                 self._law_data, tangents, r, free, cg_rtol, cg_maxiter=cg_maxiter
             )
-            u = u - delta
+            # backtracking line search: full Newton steps can overshoot badly
+            # on stiff hardening (the reference has no safeguard — its tests
+            # only ramp loads gently); try halved steps until the residual
+            # decreases, keeping the full step if nothing helps.
+            u_candidate = None
+            for scale in (1.0, 0.5, 0.25, 0.125):
+                u_try = u - scale * delta
+                r_try, *_ = self._eval_assemble(
+                    self._models, self._law_data, u_try, self.u_prev,
+                    self._stress_prev, self._histories, self.f_ext, t, dt,
+                )
+                r_try_norm = float(jnp.linalg.norm(jnp.where(free, r_try, 0.0)))
+                if u_candidate is None:
+                    u_candidate = u_try  # default: full step
+                if r_try_norm < r_norm:
+                    u_candidate = u_try
+                    break
+            u = u_candidate
             niter += 1
 
         self.u = u
