@@ -79,22 +79,31 @@ def main() -> None:
     f_ext = jnp.zeros(V.ndofs, state.u.dtype)
     dt = jnp.asarray(1.0, state.u.dtype)
 
-    jitted = jax.jit(lambda st: step(models, st, bc_dofs_j, bc_vals_j, f_ext, dt))
+    # the timed unit: one load step from a FIXED representative state (ramped
+    # past yield), with a microscopically varied load scale so every timed
+    # call does identical work on distinct inputs (the remote-TPU tunnel
+    # memoizes byte-identical dispatches; a quiescent repeat would also leave
+    # the Krylov solve a near-zero RHS)
+    jitted = jax.jit(
+        lambda st, scale: step(models, st, bc_dofs_j, bc_vals_j * scale, f_ext, dt)
+    )
 
-    # warmup (compile) + drive past yield so the masked Newton does real work
     st = state
-    for _ in range(2):
-        st, stats = jitted(st)
+    for k in (1.0, 2.0, 3.0):  # warmup + drive past yield (compile included)
+        st, stats = jitted(st, jnp.asarray(k, state.u.dtype))
     jax.block_until_ready(st.u)
 
-    # min over several windows: the remote-TPU tunnel adds sporadic latency
+    # min over several windows: the tunnel adds sporadic latency
     n_iters = 3
     best = float("inf")
+    j = 0
     for _ in range(4):
         t0 = time.perf_counter()
         for _ in range(n_iters):
-            st, stats = jitted(st)
-        jax.block_until_ready(st.u)
+            j += 1
+            scale = jnp.asarray(4.0 + 1e-6 * j, state.u.dtype)
+            out_state, stats = jitted(st, scale)
+        jax.block_until_ready(out_state.u)
         best = min(best, (time.perf_counter() - t0) / n_iters)
 
     ms_per_step = best * 1000.0

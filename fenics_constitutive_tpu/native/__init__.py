@@ -23,7 +23,13 @@ import numpy as np
 from ..models.interfaces import IncrSmallStrainModel, register_model
 from ..ops.mandel import Constraint
 
-__all__ = ["ensure_built", "load_library", "NativeModel", "UmatModel"]
+__all__ = [
+    "ensure_built",
+    "load_library",
+    "NativeModel",
+    "UmatModel",
+    "LinearElasticity3D",
+]
 
 _NATIVE_DIR = pathlib.Path(__file__).resolve().parents[2] / "native"
 _BUILD_DIR = _NATIVE_DIR / "build"
@@ -246,3 +252,9 @@ class UmatModel(IncrSmallStrainModel):
             history["statev"], history["strain"],
         )
         return s_new, tangent, {"statev": statev, "strain": strain_n}
+
+
+def LinearElasticity3D(parameters: dict) -> NativeModel:
+    """Reference-name alias (rust_models.py:84-103): the native linear
+    elasticity model, parameters {"mu", "kappa"}."""
+    return NativeModel("linear_elasticity3d", parameters)

@@ -59,12 +59,14 @@ def _coef_matrices(geo: StructuredGeometry):
     return KEPS_c, KDIV_c
 
 
-def build_pallas_matvec(geo: StructuredGeometry, kappa_scalar: float):
-    """Return ``matvec(u_gm, beta, gamma, n) -> r_gm`` as a fused kernel.
+def build_pallas_matvec(geo: StructuredGeometry, kappa_scalar: float | None = None):
+    """Return ``matvec(u_gm, tangent) -> r_gm`` as a fused kernel.
 
-    beta, gamma: [Q, X, Y, Z]; n: [6, Q, X, Y, Z] (IsotropicTangent fields in
-    the structured engine's native layout); kappa is a compile-time scalar
-    (the volumetric modulus of the factored tangent).
+    ``tangent`` is an ops.packed.IsotropicTangent with fields in the
+    structured engine's native layout (beta/gamma [Q, X, Y, Z], n
+    [6, Q, X, Y, Z]; scalars broadcast). kappa rides in as an SMEM scalar so
+    parameter changes do not retrace. ``kappa_scalar`` is accepted for
+    backward compatibility and ignored (kappa comes from the tangent).
     """
     assert geo.gdim == 3 and geo.n_qp == 8 and geo.vs == 3, (
         "pallas matvec supports the 3D P1-hex 2x2x2-Gauss hot path"
@@ -79,73 +81,112 @@ def build_pallas_matvec(geo: StructuredGeometry, kappa_scalar: float):
     KDIV_j = jnp.asarray(KDIV_c, dtype)
     offs = _corner_offsets(3)
 
-    def kernel(u_lo_ref, u_hi_ref, beta_ref, gamma_ref, n_ref,
-               keps_ref, kdiv_ref, rlo_ref, rhi_ref):
-        # corner dof values U [(a, j) = 24, Y*Z]
-        rows = []
+    # Mosaic cannot reshape/matmul across an unaligned lane dim (Y, Z tiles),
+    # so the two channel contractions are unrolled as zero-skipping FMA chains
+    # with the (sparse: 50%) coefficients baked in as Python floats.
+    KEPS_list = [
+        [(k, float(KEPS_c[c, k])) for k in range(24) if abs(KEPS_c[c, k]) > 1e-300]
+        for c in range(6 * Q)
+    ]
+    KDIV_list = [
+        [(c, float(KDIV_c[m, c])) for c in range(6 * Q) if abs(KDIV_c[m, c]) > 1e-300]
+        for m in range(24)
+    ]
+
+    def kernel(kappa_ref, u_lo_ref, u_hi_ref, beta_ref, gamma_ref, n_ref,
+               rlo_ref, rhi_ref):
+        kappa_scalar = kappa_ref[0]
+        # corner dof values U [(a, j) = 24] of [Y, Z] tiles
+        U = []
         for a, (ax, ay, az) in enumerate(offs):
             src = u_hi_ref if ax else u_lo_ref
             for j in range(3):
-                rows.append(
-                    src[j, 0, ay : ay + Y, az : az + Z].reshape(CYZ)
-                )
-        U = jnp.stack(rows, axis=0)  # [24, CYZ]
+                U.append(src[j, 0, ay : ay + Y, az : az + Z])
 
-        # strain channels: [48, 24] @ [24, CYZ] on the MXU
-        eps = jnp.dot(keps_ref[:, :], U, preferred_element_type=dtype)
-        e = eps.reshape(6, Q, CYZ)
+        # strain channels e[(s, q)] [Y, Z]
+        e = []
+        for c in range(6 * Q):
+            acc = None
+            for k, w in KEPS_list[c]:
+                term = w * U[k]
+                acc = term if acc is None else acc + term
+            e.append(acc)
 
-        beta = beta_ref[:, 0].reshape(Q, CYZ)
-        gamma = gamma_ref[:, 0].reshape(Q, CYZ)
-        nvec = n_ref[:, :, 0].reshape(6, Q, CYZ)
+        beta = beta_ref[:, 0]  # [Q, Y, Z]
+        gamma = gamma_ref[:, 0]
 
-        tr = e[0] + e[1] + e[2]
-        ndote = (nvec * e).sum(axis=0)
-        sig = beta * e + (gamma * ndote) * nvec
-        sig = sig.at[:3].add((kappa_scalar - beta / 3.0) * tr)
+        sig = [None] * (6 * Q)
+        for q in range(Q):
+            eq = [e[s * Q + q] for s in range(6)]
+            bq = beta[q]
+            gq = gamma[q]
+            nq = [n_ref[s, q, 0] for s in range(6)]
+            tr = eq[0] + eq[1] + eq[2]
+            ndote = nq[0] * eq[0]
+            for s in range(1, 6):
+                ndote = ndote + nq[s] * eq[s]
+            gn = gq * ndote
+            corr = (kappa_scalar - bq / 3.0) * tr
+            for s in range(6):
+                v = bq * eq[s] + gn * nq[s]
+                if s < 3:
+                    v = v + corr
+                sig[s * Q + q] = v
 
-        # per-corner nodal forces: [24, 48] @ [48, CYZ] on the MXU
-        F = jnp.dot(
-            kdiv_ref[:, :], sig.reshape(6 * Q, CYZ),
-            preferred_element_type=dtype,
-        ).reshape(8, 3, Y, Z)
-
+        # per-corner nodal forces F[(a, j)] [Y, Z]
         rlo_ref[...] = jnp.zeros_like(rlo_ref)
         rhi_ref[...] = jnp.zeros_like(rhi_ref)
         for a, (ax, ay, az) in enumerate(offs):
             tgt = rhi_ref if ax else rlo_ref
             for j in range(3):
+                m = a * 3 + j
+                acc = None
+                for c, w in KDIV_list[m]:
+                    term = w * sig[c]
+                    acc = term if acc is None else acc + term
                 cur = tgt[j, 0, ay : ay + Y, az : az + Z]
-                tgt[j, 0, ay : ay + Y, az : az + Z] = cur + F[a, j]
+                tgt[j, 0, ay : ay + Y, az : az + Z] = cur + acc
 
-    grid = (X,)
-    u_spec_lo = pl.BlockSpec((3, 1, Y + 1, Z + 1), lambda i: (0, i, 0, 0),
-                             memory_space=pltpu.VMEM)
-    u_spec_hi = pl.BlockSpec((3, 1, Y + 1, Z + 1), lambda i: (0, i + 1, 0, 0),
-                             memory_space=pltpu.VMEM)
-    bg_spec = pl.BlockSpec((Q, 1, Y, Z), lambda i: (0, i, 0, 0),
-                           memory_space=pltpu.VMEM)
-    n_spec = pl.BlockSpec((6, Q, 1, Y, Z), lambda i: (0, 0, i, 0, 0),
-                          memory_space=pltpu.VMEM)
-    coef_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((3, 1, Y + 1, Z + 1), lambda i: (0, i, 0, 0),
-                            memory_space=pltpu.VMEM)
-
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(X,),
+        in_specs=[
+            pl.BlockSpec((3, 1, Y + 1, Z + 1), lambda i, k: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 1, Y + 1, Z + 1), lambda i, k: (0, i + 1, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, 1, Y, Z), lambda i, k: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, 1, Y, Z), lambda i, k: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, Q, 1, Y, Z), lambda i, k: (0, 0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((3, 1, Y + 1, Z + 1), lambda i, k: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 1, Y + 1, Z + 1), lambda i, k: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
     call = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[u_spec_lo, u_spec_hi, bg_spec, bg_spec, n_spec,
-                  coef_spec, coef_spec],
-        out_specs=(out_spec, out_spec),
+        grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((3, X, Y + 1, Z + 1), dtype),
             jax.ShapeDtypeStruct((3, X, Y + 1, Z + 1), dtype),
         ),
     )
 
-    def matvec(u_gm, beta, gamma, n):
+    def matvec(u_gm, tangent):
+        beta = jnp.broadcast_to(tangent.beta, (Q, X, Y, Z))
+        gamma = jnp.broadcast_to(tangent.gamma, (Q, X, Y, Z))
+        n = jnp.broadcast_to(tangent.n, (6, Q, X, Y, Z))
+        kappa = jnp.reshape(
+            jnp.asarray(tangent.kappa, u_gm.dtype), (-1,)
+        )[:1]
         ug = u_gm.reshape(3, X + 1, Y + 1, Z + 1)
-        r_lo, r_hi = call(ug, ug, beta, gamma, n, KEPS_j, KDIV_j)
+        r_lo, r_hi = call(kappa, ug, ug, beta, gamma, n)
         r = jnp.zeros((3, X + 1, Y + 1, Z + 1), u_gm.dtype)
         r = r.at[:, :X].add(r_lo)
         r = r.at[:, 1:].add(r_hi)

@@ -54,26 +54,49 @@ def _coarse_len(L: int) -> int:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["geos", "diags", "frees", "K_transfer"],
+    data_fields=["geos", "diag_kappa", "diag_beta", "frees", "K_transfer",
+                 "mu", "kappa"],
     meta_fields=[
         "node_grids", "vs", "n_levels", "omega", "nu", "coarse_iters",
-        "mu", "kappa",
+        "fine_matvec",
     ],
 )
 @dataclass(frozen=True)
 class MultigridPreconditioner:
     geos: tuple  # per-level StructuredGeometry (elastic operator carrier)
-    diags: tuple  # per-level Jacobi diagonal of the elastic operator [ndofs_l]
+    #: per-level Jacobi-diagonal components: diag = kappa*diag_kappa + 2mu*diag_beta
+    diag_kappa: tuple
+    diag_beta: tuple
     frees: tuple  # per-level free-dof masks (Dirichlet dofs injected coarse)
     K_transfer: jnp.ndarray  # depthwise trilinear kernel
+    #: TRACED moduli of the level operators — adapt per Newton step with
+    #: with_moduli() so the preconditioner tracks plastic softening
+    mu: jnp.ndarray
+    kappa: jnp.ndarray
     node_grids: tuple  # per-level node-grid shapes
     vs: int
     n_levels: int
     omega: float
     nu: int
     coarse_iters: int
-    mu: float
-    kappa: float
+    #: optional fused fine-level operator apply (e.g. the Pallas matvec);
+    #: signature (v_gm, IsotropicTangent) -> r_gm. None = conv engine.
+    fine_matvec: object = None
+
+    def with_moduli(self, mu, kappa):
+        """New preconditioner with updated (traced) effective moduli — e.g.
+        mu_eff = mean(beta)/2 of the current consistent tangent, so the
+        elastic hierarchy stays spectrally matched through plastic softening."""
+        import dataclasses
+
+        return dataclasses.replace(
+            self, mu=jnp.asarray(mu), kappa=jnp.asarray(kappa)
+        )
+
+    def _diag(self, lvl, dtype):
+        return (
+            self.kappa * self.diag_kappa[lvl] + 2.0 * self.mu * self.diag_beta[lvl]
+        ).astype(dtype)
 
     # -- grid <-> flat (GRID-MAJOR dof vectors: reshapes only, no copies) ------
     def _to_grid(self, x, lvl):
@@ -147,18 +170,32 @@ class MultigridPreconditioner:
             n=jnp.zeros(n_shape, dtype),
         )
 
-    def vcycle(self, lvl, b):
+    def vcycle(self, lvl, b, fine_tangent=None, fine_diag=None):
         geo = self.geos[lvl]
-        tg = self._tangent(lvl, b.dtype)
+        # level 0 can smooth with the TRUE (heterogeneous) consistent tangent:
+        # high-frequency error in the plastic zone is invisible to the
+        # constant-coefficient coarse hierarchy, but the smoother kills it
+        if lvl == 0 and fine_tangent is not None:
+            tg = fine_tangent
+            diag = jnp.where(self.frees[0], fine_diag, 1.0)
+        else:
+            tg = self._tangent(lvl, b.dtype)
+            diag = jnp.where(
+                self.frees[lvl], self._diag(lvl, b.dtype), 1.0
+            )
         free = self.frees[lvl]
-        diag = self.diags[lvl].astype(b.dtype)
         inv_d = self.omega / diag
         b = jnp.where(free, b, 0.0)
+        apply_op = (
+            (lambda v: self.fine_matvec(v, tg))
+            if (lvl == 0 and self.fine_matvec is not None)
+            else (lambda v: geo.matvec_gm(v, tg))
+        )
 
         def A(v):
             # constrained (identity-row) elastic operator at this level
             vm = jnp.where(free, v, 0.0)
-            return jnp.where(free, geo.matvec_gm(vm, tg), v)
+            return jnp.where(free, apply_op(vm), v)
 
         def smooth(x, b_, iters):
             def body(i, x_):
@@ -190,7 +227,8 @@ class MultigridPreconditioner:
         for lvl in range(self.n_levels):
             free = self.frees[lvl]
             r = jnp.where(free, r, 0.0)
-            contribs.append(jnp.where(free, r / self.diags[lvl].astype(r.dtype), 0.0))
+            d = jnp.where(free, self._diag(lvl, r.dtype), 1.0)
+            contribs.append(jnp.where(free, r / d, 0.0))
             if lvl < self.n_levels - 1:
                 r = self.restrict(r, lvl)
         z = contribs[-1]
@@ -199,6 +237,11 @@ class MultigridPreconditioner:
                 self.frees[lvl], self.prolong(z, lvl), 0.0
             )
         return z
+
+    def prepared(self, fine_tangent, fine_diag_gm):
+        """V-cycle closure smoothing level 0 with the given consistent tangent
+        (and its precomputed grid-major Jacobi diagonal)."""
+        return lambda r_gm: self.vcycle(0, r_gm, fine_tangent, fine_diag_gm)
 
     def __call__(self, r_gm):
         """Preconditioner apply M^-1 r at the fine level.
@@ -220,6 +263,7 @@ def build_multigrid(
     coarse_iters: int = 20,
     min_size: int = 4,
     dtype=None,
+    fine_matvec=None,
 ) -> MultigridPreconditioner:
     """Build the elastic V-cycle hierarchy below a fine StructuredGeometry.
 
@@ -255,12 +299,6 @@ def build_multigrid(
         return build_structured_geometry(V, 2, geo.constraint, dtype)
 
     geos = [geo] + [synth_geo(c) for c in cell_grids[1:]]
-    tangent = IsotropicTangent(
-        kappa=jnp.asarray(kappa, dtype),
-        beta=jnp.asarray(2.0 * mu, dtype),
-        gamma=jnp.asarray(0.0, dtype),
-        n=jnp.zeros((6,) + (1,) * (1 + gdim), dtype),
-    )
     # per-level free masks (grid-major) by injection on the node grid
     if free_mask is None:
         free_mask = jnp.ones(geo.ndofs, bool)
@@ -269,21 +307,33 @@ def build_multigrid(
         fine = frees[-1].reshape((vs,) + node_grids[lvl - 1])
         sl = (slice(None),) + (slice(None, None, 2),) * gdim
         frees.append(fine[sl].reshape(-1))
-    diags = tuple(
-        jnp.where(fr, g.jacobi_diag_gm(tangent), 1.0)
-        for g, fr in zip(geos, frees)
+
+    # diagonal components (linear in kappa and beta=2mu)
+    n_shape = (6,) + (1,) * (1 + gdim)
+    unit_kappa = IsotropicTangent(
+        kappa=jnp.asarray(1.0, dtype), beta=jnp.asarray(0.0, dtype),
+        gamma=jnp.asarray(0.0, dtype), n=jnp.zeros(n_shape, dtype),
     )
+    unit_beta = IsotropicTangent(
+        kappa=jnp.asarray(0.0, dtype), beta=jnp.asarray(1.0, dtype),
+        gamma=jnp.asarray(0.0, dtype), n=jnp.zeros(n_shape, dtype),
+    )
+    diag_kappa = tuple(g.jacobi_diag_gm(unit_kappa) for g in geos)
+    diag_beta = tuple(g.jacobi_diag_gm(unit_beta) for g in geos)
+
     return MultigridPreconditioner(
         geos=tuple(geos),
-        diags=diags,
+        diag_kappa=diag_kappa,
+        diag_beta=diag_beta,
         frees=tuple(frees),
         K_transfer=_transfer_kernels(vs, gdim, dtype),
+        mu=jnp.asarray(float(mu), dtype),
+        kappa=jnp.asarray(float(kappa), dtype),
         node_grids=tuple(node_grids),
         vs=vs,
         n_levels=len(geos),
         omega=omega,
         nu=nu,
         coarse_iters=coarse_iters,
-        mu=float(mu),
-        kappa=float(kappa),
+        fine_matvec=fine_matvec,
     )

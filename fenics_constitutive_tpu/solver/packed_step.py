@@ -85,11 +85,16 @@ def make_packed_step(
     cg_rtol: float = 1e-14,
     cg_maxiter: int = 1000,
     preconditioner=None,
+    matvec_impl: str = "conv",
 ):
     """Build ``step(models, state, bc_dofs, bc_vals, f_ext, dt) -> (state', stats)``.
 
     ``preconditioner``: optional callable M^-1 (e.g. a
     solver.multigrid.MultigridPreconditioner) replacing Jacobi in the CG.
+    ``matvec_impl``: "conv" (XLA conv engine, any backend) or "pallas" (the
+    fused Mosaic kernel, TPU-compiled; ~6x faster CG iterations on v5e —
+    requires the single-law 3D structured hot path and isotropic factored
+    tangents).
     """
     ndofs = geos[0].ndofs
     constraint = geos[0].constraint
@@ -112,6 +117,12 @@ def make_packed_step(
     # transposes happen once per Newton solve instead of twice per CG
     # iteration (see ops/structured.py to_grid_major).
     grid_major = len(geos) == 1 and hasattr(geos[0], "matvec_gm")
+    pallas_mv = None
+    if matvec_impl == "pallas":
+        assert grid_major, "pallas matvec needs the single-law structured path"
+        from ..ops.pallas_matvec import build_pallas_matvec
+
+        pallas_mv = build_pallas_matvec(geos[0])
 
     def linear_solve(tangents, r, free):
         if grid_major:
@@ -119,13 +130,26 @@ def make_packed_step(
             r_gm = geo.to_grid_major(jnp.where(free, r, 0.0))
             free_gm = geo.to_grid_major(free)
 
-            def matvec(v):
-                vm = jnp.where(free_gm, v, 0.0)
-                return jnp.where(free_gm, geo.matvec_gm(vm, tg), v)
+            if pallas_mv is not None:
+                def matvec(v):
+                    vm = jnp.where(free_gm, v, 0.0)
+                    return jnp.where(free_gm, pallas_mv(vm, tg), v)
+            else:
+                def matvec(v):
+                    vm = jnp.where(free_gm, v, 0.0)
+                    return jnp.where(free_gm, geo.matvec_gm(vm, tg), v)
 
             if preconditioner is not None:
+                pc = preconditioner
+                if hasattr(pc, "prepared"):
+                    # retune the elastic hierarchy to the current mean moduli
+                    # AND smooth level 0 with the true heterogeneous tangent
+                    mu_eff = 0.5 * jnp.mean(tg.beta)
+                    pc_tuned = pc.with_moduli(mu_eff, pc.kappa)
+                    pc = pc_tuned.prepared(tg, geo.jacobi_diag_gm(tg))
+
                 def precond(rr):
-                    z = preconditioner(jnp.where(free_gm, rr, 0.0))
+                    z = pc(jnp.where(free_gm, rr, 0.0))
                     return jnp.where(free_gm, z, rr)
 
                 delta_gm, k = linear.cg_solve(
