@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["qp_norm", "dof_norm"]
+__all__ = ["qp_norm", "dof_norm", "norm"]
 
 
 def qp_norm(
@@ -41,3 +41,12 @@ def dof_norm(vec: jnp.ndarray, norm_type: str = "l2") -> jnp.ndarray:
         return jnp.max(jnp.abs(vec))
     msg = f"unknown norm type {norm_type}"
     raise ValueError(msg)
+
+
+def norm(f, dx, comm=None, norm_type: str = "l2"):
+    """Reference-signature alias (error_estimation.py:11-21): ``norm(f, dx,
+    comm, norm_type)``. ``dx`` is the quadrature measure (problem.dxm);
+    ``comm`` is accepted for drop-in compatibility and ignored — the reduction
+    is global across shards by construction (psum under GSPMD)."""
+    del comm
+    return qp_norm(f, dx, norm_type)
