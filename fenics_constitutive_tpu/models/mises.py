@@ -119,9 +119,16 @@ class VonMises3D(IncrSmallStrainModel):
             conv_inc = jnp.abs(gamma - gamma_prev) <= tol_rel * jnp.abs(gamma)
             return plastic & ~conv_res & ~conv_inc
 
+        # f32 safeguard: a handful of QPs can oscillate at roundoff below
+        # the masked tolerances and would pin the whole batch at the 100-cap
+        # (results are bit-identical well before iteration 32)
+        max_it = self.newton_max_iter if eps_m < 1e-10 else min(
+            self.newton_max_iter, 32
+        )
+
         def cond(state):
             it = state[3]
-            return jnp.any(active_mask(state)) & (it <= self.newton_max_iter)
+            return jnp.any(active_mask(state)) & (it <= max_it)
 
         def body(state):
             gamma_prev, gamma, xr, it = state

@@ -80,8 +80,12 @@ def _vonmises_evaluate_packed(self, t, dt, eps, stress, history):
             jnp.abs(g - g_prev) > tol_rel * jnp.abs(g)
         )
 
+    # f32 safeguard (see models/mises.py): don't let roundoff-oscillating QPs
+    # pin the batch at the 100-iteration cap
+    max_it = self.newton_max_iter if eps_m < 1e-10 else min(self.newton_max_iter, 32)
+
     def cond(state):
-        return jnp.any(active(state)) & (state[3] <= self.newton_max_iter)
+        return jnp.any(active(state)) & (state[3] <= max_it)
 
     def body(state):
         g_prev, g, xr, it = state

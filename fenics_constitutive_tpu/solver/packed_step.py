@@ -194,15 +194,24 @@ def make_packed_step(
             )
 
         def body(carry):
-            u, it, r, s, tg, h = carry
-            delta, _ = linear_solve(tg, r, free)
+            u, it, r, s, tg, h, _ = carry
+            delta, cg_k = linear_solve(tg, r, free)
             u_new = u - delta
             r2, s2, tg2, h2 = eval_assemble(models, u_new, state, f_ext, dt)
-            return (u_new, it + 1, r2, s2, tg2, h2)
+            return (u_new, it + 1, r2, s2, tg2, h2, cg_k)
 
-        carry = (u0, jnp.asarray(0, jnp.int32), r0, s0, tg0, h0)
-        u, niter, r_f, s_f, _, h_f = jax.lax.while_loop(cond, body, carry)
+        carry = (
+            u0, jnp.asarray(0, jnp.int32), r0, s0, tg0, h0,
+            jnp.asarray(0, jnp.int32),
+        )
+        u, niter, r_f, s_f, _, h_f, cg_k = jax.lax.while_loop(cond, body, carry)
         new_state = PackedState(u=u, stress=s_f, histories=h_f, t=state.t + dt)
-        return new_state, {"newton_iters": niter, "r_norm": fnorm(r_f), "r0_norm": r0_norm}
+        stats = {
+            "newton_iters": niter,
+            "r_norm": fnorm(r_f),
+            "r0_norm": r0_norm,
+            "cg_iters_last": cg_k,
+        }
+        return new_state, stats
 
     return step
