@@ -89,7 +89,7 @@ def main() -> None:
     )
 
     st = state
-    for k in (1.0, 2.0, 3.0):  # warmup + drive past yield (compile included)
+    for k in (0.5, 1.0, 1.5):  # warmup + drive past yield (compile included)
         st, stats = jitted(st, jnp.asarray(k, state.u.dtype))
     jax.block_until_ready(st.u)
 
@@ -101,7 +101,7 @@ def main() -> None:
         t0 = time.perf_counter()
         for _ in range(n_iters):
             j += 1
-            scale = jnp.asarray(4.0 + 1e-6 * j, state.u.dtype)
+            scale = jnp.asarray(2.0 + 1e-6 * j, state.u.dtype)
             out_state, stats = jitted(st, scale)
         jax.block_until_ready(out_state.u)
         best = min(best, (time.perf_counter() - t0) / n_iters)

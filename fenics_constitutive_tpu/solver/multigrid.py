@@ -240,7 +240,13 @@ class MultigridPreconditioner:
 
     def prepared(self, fine_tangent, fine_diag_gm):
         """V-cycle closure smoothing level 0 with the given consistent tangent
-        (and its precomputed grid-major Jacobi diagonal)."""
+        (and its precomputed grid-major Jacobi diagonal).
+
+        WARNING (measured): with softening elastoplastic tangents the true
+        Jacobi diagonal can approach zero/indefiniteness and the resulting
+        preconditioner breaks CG SPD-ness (iterations blow from ~30 to the
+        cap). Prefer the plain elastic cycle (__call__) or bpx; this hook is
+        for genuinely SPD heterogeneous tangents."""
         return lambda r_gm: self.vcycle(0, r_gm, fine_tangent, fine_diag_gm)
 
     def __call__(self, r_gm):

@@ -140,13 +140,11 @@ def make_packed_step(
                     return jnp.where(free_gm, geo.matvec_gm(vm, tg), v)
 
             if preconditioner is not None:
+                # NOTE: pass mg (V-cycle) or mg.bpx here. Do NOT smooth the
+                # V-cycle with the true consistent tangent: softening makes
+                # its Jacobi diagonal indefinite and the resulting M breaks
+                # CG (measured: 28 -> 400-cap iterations).
                 pc = preconditioner
-                if hasattr(pc, "prepared"):
-                    # retune the elastic hierarchy to the current mean moduli
-                    # AND smooth level 0 with the true heterogeneous tangent
-                    mu_eff = 0.5 * jnp.mean(tg.beta)
-                    pc_tuned = pc.with_moduli(mu_eff, pc.kappa)
-                    pc = pc_tuned.prepared(tg, geo.jacobi_diag_gm(tg))
 
                 def precond(rr):
                     z = pc(jnp.where(free_gm, rr, 0.0))
