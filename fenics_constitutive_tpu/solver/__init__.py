@@ -2,5 +2,11 @@
 
 from .linear import cg_solve
 from .problem import IncrSmallStrainProblem, SimulationTime
+from .simulation import PackedSimulation
 
-__all__ = ["IncrSmallStrainProblem", "SimulationTime", "cg_solve"]
+__all__ = [
+    "IncrSmallStrainProblem",
+    "SimulationTime",
+    "PackedSimulation",
+    "cg_solve",
+]

@@ -1,0 +1,176 @@
+"""PackedSimulation: reference-style driver over the production engines.
+
+`IncrSmallStrainProblem` is the reference-parity interactive path (AoS
+layouts, per-iteration convergence reporting, line search). For production
+time stepping on the fast engines this wrapper provides the same ergonomics —
+mutable BC values, `solve() -> (niter, converged)`, observation properties —
+while each load step runs as ONE jitted XLA program (solver/packed_step) with
+optional multigrid/BPX preconditioning and the Pallas matvec.
+
+Example::
+
+    sim = PackedSimulation(law, V, bcs, q_degree=2, preconditioner="bpx")
+    for disp in np.linspace(0.0005, 0.05, 100):
+        bc_move.value = disp
+        niter, converged = sim.solve()
+    sigma = sim.stress  # [C, Q, s], reference-compatible ordering
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem.bcs import combine_bcs
+from ..fem.spaces import FunctionSpace
+from .multigrid import build_multigrid
+from .packed_step import PackedState, build_packed_problem, make_packed_step
+
+__all__ = ["PackedSimulation"]
+
+
+class PackedSimulation:
+    """Production time stepper on the packed/structured engines.
+
+    Args:
+        laws: model or [(model, cells)] (same as IncrSmallStrainProblem).
+        space: displacement FunctionSpace.
+        bcs: Dirichlet BCs (values may be mutated between steps).
+        q_degree: quadrature degree.
+        del_t: time increment (mutable attribute).
+        preconditioner: None (Jacobi), "bpx", or "vcycle" — the multilevel
+            options need a box-structured mesh and elastic moduli, which are
+            taken from ``elastic_moduli`` or estimated from the model params.
+        matvec_impl: "conv", "pallas", or "auto" (pallas on TPU backends for
+            the 3D structured hot path).
+        newton/cg options are forwarded to make_packed_step.
+    """
+
+    def __init__(
+        self,
+        laws,
+        space: FunctionSpace,
+        bcs,
+        q_degree: int,
+        del_t: float = 1.0,
+        *,
+        preconditioner: str | None = None,
+        matvec_impl: str = "auto",
+        elastic_moduli: tuple[float, float] | None = None,
+        newton_rtol: float = 1e-8,
+        newton_atol: float = 1e-8,
+        max_newton: int = 25,
+        cg_rtol: float = 1e-6,
+        cg_maxiter: int = 1000,
+        dtype=None,
+    ):
+        self.space = space
+        self.bcs = bcs
+        self.del_t = del_t
+        geos, models, state = build_packed_problem(space, laws, q_degree, dtype)
+        self._geos, self._models = geos, models
+        self.state: PackedState = state
+        geo = geos[0]
+        structured = hasattr(geo, "matvec_gm") and len(geos) == 1
+
+        if matvec_impl == "auto":
+            on_tpu = jax.default_backend() not in ("cpu",)
+            use_pallas = (
+                structured
+                and on_tpu
+                and getattr(geo, "gdim", 0) == 3
+                and geo.n_qp == 8
+                and geo.vs == 3
+            )
+            matvec_impl = "pallas" if use_pallas else "conv"
+
+        pc = None
+        if preconditioner is not None:
+            assert structured, "multilevel preconditioning needs a box mesh"
+            mu, kappa = (
+                elastic_moduli
+                if elastic_moduli is not None
+                else _estimate_moduli(models[0])
+            )
+            bc_dofs, _ = combine_bcs(bcs)
+            free = jnp.ones(space.ndofs, bool).at[jnp.asarray(bc_dofs)].set(False)
+            fine_mv = None
+            if matvec_impl == "pallas":
+                from ..ops.pallas_matvec import build_pallas_matvec
+
+                fine_mv = build_pallas_matvec(geo)
+            mg = build_multigrid(geo, mu, kappa, free, fine_matvec=fine_mv)
+            pc = {"bpx": mg.bpx, "vcycle": mg}[preconditioner]
+
+        step = make_packed_step(
+            geos,
+            newton_rtol=newton_rtol,
+            newton_atol=newton_atol,
+            max_newton=max_newton,
+            cg_rtol=cg_rtol,
+            cg_maxiter=cg_maxiter,
+            preconditioner=pc,
+            matvec_impl=matvec_impl,
+        )
+        self._max_newton = max_newton
+        self._jitted = jax.jit(step)
+        self.last_stats = None
+
+    def solve(self) -> tuple[int, bool]:
+        """One load/time step: solve + commit. Returns (niter, converged)."""
+        bc_dofs, bc_vals = combine_bcs(self.bcs)
+        self.state, stats = self._jitted(
+            self._models,
+            self.state,
+            jnp.asarray(bc_dofs),
+            jnp.asarray(bc_vals, self.state.u.dtype),
+            jnp.zeros(self.space.ndofs, self.state.u.dtype),
+            jnp.asarray(self.del_t, self.state.u.dtype),
+        )
+        self.last_stats = {k: np.asarray(v) for k, v in stats.items()}
+        niter = int(stats["newton_iters"])
+        return niter, niter < self._max_newton or float(stats["r_norm"]) == 0.0
+
+    @property
+    def u(self) -> jnp.ndarray:
+        return self.state.u
+
+    @property
+    def stress(self) -> np.ndarray:
+        """Committed Mandel stress in reference-compatible [C, Q, s] order."""
+        geo = self._geos[0]
+        s = np.asarray(self.state.stress[0])
+        sdim = s.shape[0]
+        return s.reshape(sdim, geo.n_qp, geo.n_cells).transpose(2, 1, 0)
+
+    @property
+    def histories(self):
+        return self.state.histories
+
+    @property
+    def time(self) -> float:
+        return float(self.state.t)
+
+
+def _estimate_moduli(model) -> tuple[float, float]:
+    """(mu, kappa) for the multilevel hierarchy from common parameter names."""
+    p = getattr(model, "params", {})
+
+    def get(*names):
+        for n in names:
+            if n in p:
+                return float(np.asarray(p[n]).reshape(()))
+        return None
+
+    mu = get("p_mu", "mu")
+    kappa = get("p_ka", "kappa")
+    if mu is None or kappa is None:
+        E, nu = get("E0", "E"), get("nu")
+        if E is not None and nu is not None:
+            mu = E / (2 * (1 + nu))
+            kappa = E / (3 * (1 - 2 * nu))
+    if mu is None or kappa is None:
+        msg = "cannot infer elastic moduli; pass elastic_moduli=(mu, kappa)"
+        raise ValueError(msg)
+    return mu, kappa

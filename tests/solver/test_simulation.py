@@ -1,0 +1,61 @@
+"""PackedSimulation driver: reference-style stepping on the fast engines."""
+
+import numpy as np
+import pytest
+
+from fenics_constitutive_tpu.fem import DirichletBC, FunctionSpace, unit_cube_mesh
+from fenics_constitutive_tpu.models import VonMises3D
+from fenics_constitutive_tpu.solver import IncrSmallStrainProblem, PackedSimulation
+
+MAT = {
+    "p_ka": 175000.0,
+    "p_mu": 80769.0,
+    "p_y0": 1200.0,
+    "p_y00": 2500.0,
+    "p_w": 200.0,
+}
+
+
+def setup():
+    mesh = unit_cube_mesh(4, 4, 4, "hex")
+    V = FunctionSpace(mesh, 1, 3)
+
+    def close(axis, v):
+        return lambda x: np.isclose(x[:, axis], v)
+
+    bc_move = DirichletBC(V.locate_dofs_geometrical(close(0, 1.0), component=0), 0.0)
+    bcs = [
+        DirichletBC(V.locate_dofs_geometrical(close(0, 0.0), component=0), 0.0),
+        bc_move,
+        DirichletBC(V.locate_dofs_geometrical(close(1, 0.0), component=1), 0.0),
+        DirichletBC(V.locate_dofs_geometrical(close(2, 0.0), component=2), 0.0),
+    ]
+    return V, bcs, bc_move
+
+
+@pytest.mark.parametrize("pc", [None, "bpx", "vcycle"])
+def test_simulation_matches_interactive(pc):
+    V, bcs, bc_move = setup()
+    sim = PackedSimulation(
+        VonMises3D(MAT), V, bcs, 2, preconditioner=pc,
+        newton_rtol=1e-12, newton_atol=1e-10, cg_rtol=1e-12,
+    )
+    problem = IncrSmallStrainProblem(VonMises3D(MAT), V, bcs, 2)
+
+    for k in (1, 2, 3):
+        bc_move.value = 0.004 * k
+        n_s, conv_s = sim.solve()
+        assert conv_s
+        n_p, conv_p = problem.solve()
+        assert conv_p
+        problem.update()
+
+    np.testing.assert_allclose(
+        np.asarray(sim.u), np.asarray(problem.u), rtol=1e-8, atol=1e-12
+    )
+    # observation: [C, Q, s] stress agrees
+    np.testing.assert_allclose(
+        sim.stress, np.asarray(problem.stress_0), rtol=1e-6, atol=1e-8
+    )
+    assert sim.time == pytest.approx(3.0)
+    assert sim.last_stats["cg_iters_last"] > 0
