@@ -80,13 +80,25 @@ def main() -> None:
     dt = jnp.asarray(1.0, state.u.dtype)
 
     # the timed unit: one load step from a FIXED representative state (ramped
-    # past yield), with a microscopically varied load scale so every timed
+    # past yield), with microscopically varied load scales so every timed
     # call does identical work on distinct inputs (the remote-TPU tunnel
     # memoizes byte-identical dispatches; a quiescent repeat would also leave
-    # the Krylov solve a near-zero RHS)
+    # the Krylov solve a near-zero RHS). Three steps run per dispatch so the
+    # tunnel's per-dispatch latency amortizes.
     jitted = jax.jit(
         lambda st, scale: step(models, st, bc_dofs_j, bc_vals_j * scale, f_ext, dt)
     )
+
+    def steps3(st, scales):
+        probes = []
+        for i in range(3):
+            s_out, stats = step(
+                models, st, bc_dofs_j, bc_vals_j * scales[i], f_ext, dt
+            )
+            probes.append(stats["r_norm"])
+        return jnp.stack(probes), s_out
+
+    jitted3 = jax.jit(steps3)
 
     st = state
     for k in (0.5, 1.0, 1.5):  # warmup + drive past yield (compile included)
@@ -97,13 +109,18 @@ def main() -> None:
     n_iters = 3
     best = float("inf")
     j = 0
-    for _ in range(4):
+    _ = jax.block_until_ready(
+        jitted3(st, jnp.asarray([2.0, 2.0 + 1e-6, 2.0 + 2e-6], state.u.dtype))
+    )  # compile
+    for _w in range(4):
+        j += 1
+        scales = jnp.asarray(
+            [2.0 + 1e-5 * j, 2.0 + 1e-5 * j + 1e-6, 2.0 + 1e-5 * j + 2e-6],
+            state.u.dtype,
+        )
         t0 = time.perf_counter()
-        for _ in range(n_iters):
-            j += 1
-            scale = jnp.asarray(2.0 + 1e-6 * j, state.u.dtype)
-            out_state, stats = jitted(st, scale)
-        jax.block_until_ready(out_state.u)
+        probes, out_state = jitted3(st, scales)
+        jax.block_until_ready(probes)
         best = min(best, (time.perf_counter() - t0) / n_iters)
 
     ms_per_step = best * 1000.0
