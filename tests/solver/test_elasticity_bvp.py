@@ -93,11 +93,15 @@ def test_uniaxial_stress_two_laws(factor):
     )
     n, converged = problem.solve()
     assert converged
+    # read the increment gradients BEFORE update(): afterwards u == u_prev and
+    # they are zero by construction (the reference's Function arrays go stale
+    # instead of recomputing, so its post-update read sees the old values)
+    g = [np.asarray(x).ravel() for x in problem._del_grad_u]
     problem.update()
 
     s = np.asarray(problem.stress_0).ravel()
     assert abs(s[0] - s[1]) < 1e-10 / abs(s[0])
-    g = [np.asarray(x).ravel() for x in problem._del_grad_u]
+    assert g[0][0] != 0.0
     assert abs(g[0][0] - factor * g[1][0]) < 1e-10 / abs(g[0][0])
 
 
