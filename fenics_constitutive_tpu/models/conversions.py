@@ -53,7 +53,14 @@ class UniaxialStrainFrom3D(_From3DBase):
         q = grad_del_u.shape[0]
         dtype = stress.dtype
         grad_3d = jnp.zeros((q, 3, 3), dtype).at[:, 0, 0].set(grad_del_u[:, 0, 0])
-        stress_3d = jnp.zeros((q, 6), dtype).at[:, 0].set(stress[:, 0])
+        # Rebuild the full 3D stress from the committed aux history: lateral
+        # sigma_yy/sigma_zz are nonzero in uniaxial strain and must persist
+        # across steps (the reference keeps them on the mutable stress_3d
+        # attribute, utils.py:228-238). Only slot 0 is observed by the 1D
+        # problem, so it is refreshed from the incoming committed stress —
+        # this keeps evaluate idempotent across Newton iterations (history is
+        # the committed pytree, untouched until step commit).
+        stress_3d = history[_AUX].astype(dtype).at[:, 0].set(stress[:, 0])
         stress_3d, tangent_3d, inner_new = self.model.evaluate(
             t, del_t, grad_3d, stress_3d, self._split(history)
         )
@@ -84,8 +91,9 @@ class PlaneStrainFrom3D(_From3DBase):
         )
         # 2D Mandel slots [xx, yy, zz, xy] are the first four 3D slots
         # (utils.py:380-391); the tangent block map is the 4x4 top-left
-        # (utils.py:393-412).
-        stress_3d = jnp.zeros((q, 6), dtype).at[:, 0:4].set(stress)
+        # (utils.py:393-412). Out-of-plane shear slots 4,5 persist through the
+        # committed aux history (reference keeps them on stress_3d).
+        stress_3d = history[_AUX].astype(dtype).at[:, 0:4].set(stress)
         stress_3d, tangent_3d, inner_new = self.model.evaluate(
             t, del_t, grad_3d, stress_3d, self._split(history)
         )

@@ -134,23 +134,27 @@ class NativeModel(IncrSmallStrainModel):
 
         def host(params, t_, dt_, grad, sig, hist):
             lib = load_library()
-            grad = np.ascontiguousarray(grad, np.float64).reshape(-1)
-            sig = np.ascontiguousarray(sig, np.float64).reshape(-1)
+            # np.array copies by default — REQUIRED: pure_callback operands may
+            # be read-only JAX-owned buffers and np.ascontiguousarray would
+            # alias them, so the C kernels writing through raw pointers would
+            # mutate committed solver state (ADVICE r1, medium).
+            grad = np.array(grad, dtype=np.float64).reshape(-1)
+            sig = np.array(sig, dtype=np.float64).reshape(-1)
             tangent = np.zeros(q * 36)
             hist_arr = (
-                np.ascontiguousarray(hist, np.float64).reshape(-1)
+                np.array(hist, dtype=np.float64).reshape(-1)
                 if hsize
                 else np.zeros(1)
             )
-            params = np.ascontiguousarray(params, np.float64)
+            params = np.array(params, dtype=np.float64)
             fails = lib.comfe_evaluate(
                 name.encode(), _as_c(params), len(params),
                 float(t_), float(dt_), _as_c(grad), _as_c(sig),
                 _as_c(tangent), _as_c(hist_arr) if hsize else None, q,
             )
-            if fails:
-                # poison non-finite so divergence is detectable downstream
-                sig[:] = np.where(np.isfinite(sig), sig, np.nan)
+            # Divergent QPs are NaN-poisoned per-QP by the C kernel itself
+            # (models.cpp poison_qp), so `fails > 0` is already visible in the
+            # returned stress; nothing to rewrite host-side.
             out_dtype = np.dtype(dtype.name)
             return (
                 sig.reshape(q, 6).astype(out_dtype),
@@ -220,12 +224,14 @@ class UmatModel(IncrSmallStrainModel):
         def host(props, t_, dt_, grad, sig, statev, strain_n):
             lib = load_library()
             handle = self._get_handle()
-            grad = np.ascontiguousarray(grad, np.float64).reshape(-1)
-            sig = np.ascontiguousarray(sig, np.float64).reshape(-1)
-            statev = np.ascontiguousarray(statev, np.float64).reshape(-1)
-            strain_n = np.ascontiguousarray(strain_n, np.float64).reshape(-1)
+            # explicit copies: callback operands must never be written through
+            # (see NativeModel.host above)
+            grad = np.array(grad, dtype=np.float64).reshape(-1)
+            sig = np.array(sig, dtype=np.float64).reshape(-1)
+            statev = np.array(statev, dtype=np.float64).reshape(-1)
+            strain_n = np.array(strain_n, dtype=np.float64).reshape(-1)
             tangent = np.zeros(q * 36)
-            props = np.ascontiguousarray(props, np.float64)
+            props = np.array(props, dtype=np.float64)
             rc = lib.comfe_umat_evaluate(
                 handle, float(t_), float(dt_), _as_c(grad), _as_c(sig),
                 _as_c(tangent), _as_c(statev), nsv, _as_c(strain_n),

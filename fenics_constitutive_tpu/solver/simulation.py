@@ -114,6 +114,8 @@ class PackedSimulation:
             matvec_impl=matvec_impl,
         )
         self._max_newton = max_newton
+        self._newton_rtol = newton_rtol
+        self._newton_atol = newton_atol
         self._jitted = jax.jit(step)
         self.last_stats = None
 
@@ -130,7 +132,14 @@ class PackedSimulation:
         )
         self.last_stats = {k: np.asarray(v) for k, v in stats.items()}
         niter = int(stats["newton_iters"])
-        return niter, niter < self._max_newton or float(stats["r_norm"]) == 0.0
+        # Convergence = the residual tolerance actually held (dolfinx
+        # NewtonSolver semantics the reference relies on), NOT "stopped before
+        # the iteration cap": a step converging exactly on the max_newton-th
+        # iteration is converged; a capped step with a large residual is not.
+        converged = float(stats["r_norm"]) <= max(
+            self._newton_atol, self._newton_rtol * float(stats["r0_norm"])
+        )
+        return niter, converged
 
     @property
     def u(self) -> jnp.ndarray:

@@ -104,6 +104,15 @@ struct Surface {
   std::function<Vec6(const Vec6&, double)> g;
 };
 
+// Deliberate per-QP divergence signal: poison this QP's stress with NaN so
+// the Python side (and the solver's diverged_mask) detects failure even when
+// the unconverged values are finite (ADVICE r1: finite-but-unconverged
+// stresses must not pass silently).
+static int poison_qp(double* stress) {
+  for (int i = 0; i < 6; ++i) stress[i] = std::nan("");
+  return 1;
+}
+
 int return_map(const Surface& srf, double mu, double kappa,
                const double* grad, double* stress, double* tangent,
                double* hist) {
@@ -168,7 +177,7 @@ int return_map(const Surface& srf, double mu, double kappa,
     fd_jacobian(sol, res);
     std::array<double, N * N> Jcopy = J;
     std::array<double, N> step = res;
-    if (!solve_lu<N>(Jcopy, step)) return 1;
+    if (!solve_lu<N>(Jcopy, step)) return poison_qp(stress);
     double dn = 0.0, sn = 0.0;
     for (int i = 0; i < N; ++i) {
       sol[i] -= step[i];
@@ -195,11 +204,11 @@ int return_map(const Surface& srf, double mu, double kappa,
       std::array<double, N * N> Jcopy = J;
       std::array<double, N> rhs{};
       for (int i = 0; i < 6; ++i) rhs[i] = C[i * 6 + col];
-      if (!solve_lu<N>(Jcopy, rhs)) return 1;
+      if (!solve_lu<N>(Jcopy, rhs)) return poison_qp(stress);
       for (int i = 0; i < 6; ++i) tangent[i * 6 + col] = rhs[i];
     }
   }
-  return converged ? 0 : 1;
+  return converged ? 0 : poison_qp(stress);
 }
 
 Surface drucker_prager_classic(const double* p) {

@@ -250,3 +250,53 @@ def test_plane_strain_from_3d_wrapper():
     s_d, t_d, _ = law2d.evaluate(0.0, 1.0, grad, jnp.zeros((5, 4)), None)
     np.testing.assert_allclose(np.asarray(s_w), np.asarray(s_d), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(t_w), np.asarray(t_d), rtol=1e-12)
+
+
+@pytest.mark.parametrize("wrapper_cls", [UniaxialStrainFrom3D, PlaneStrainFrom3D])
+def test_from3d_wrapper_multistep_plasticity_equivalence(wrapper_cls):
+    """Committed lateral stresses must persist across steps (ADVICE r1, high).
+
+    Drives a wrapped VonMises3D through 10 committed load increments — the way
+    the solver threads state — and compares against the direct FULL 3D model on
+    the identical strain path. The reference keeps the full 3D stress on the
+    mutable ``stress_3d`` attribute (utils.py:228-238); we carry it as aux
+    history, and losing it shows up from step 2 on (elastically) and grossly
+    under plastic flow.
+    """
+    params = {"p_ka": 175.0, "p_mu": 80.0, "p_y0": 0.12, "p_y00": 0.25, "p_w": 50.0}
+    law3d_direct = VonMises3D(params)
+    wrapped = wrapper_cls(VonMises3D(params))
+    gdim = wrapped.constraint.geometric_dim
+    sdim = wrapped.constraint.stress_strain_dim
+
+    q = 3
+    # per-step lower-dim displacement-gradient increment (plastic by step ~3)
+    rng = np.random.default_rng(7)
+    if wrapper_cls is UniaxialStrainFrom3D:
+        dgrad = jnp.full((q, 1, 1), 4e-4)
+    else:
+        base = rng.normal(size=(2, 2)) * 2e-4 + np.diag([4e-4, 1e-4])
+        dgrad = jnp.asarray(np.broadcast_to(base, (q, 2, 2)))
+
+    # matching FULL 3D gradient increment (embed in upper-left block)
+    dgrad3 = jnp.zeros((q, 3, 3)).at[:, :gdim, :gdim].set(dgrad)
+
+    s_w = jnp.zeros((q, sdim))
+    h_w = wrapped.init_history(q)
+    s_d = jnp.zeros((q, 6))
+    h_d = law3d_direct.init_history(q)
+    for step in range(10):
+        t = float(step)
+        s_w, _, h_w_trial = wrapped.evaluate(t, 1.0, dgrad, s_w, h_w)
+        s_d, _, h_d = law3d_direct.evaluate(t, 1.0, dgrad3, s_d, h_d)
+        h_w = h_w_trial  # commit
+        np.testing.assert_allclose(
+            np.asarray(s_w), np.asarray(s_d[:, :sdim]), rtol=1e-10,
+            err_msg=f"step {step}",
+        )
+        # the carried full 3D stress must match the direct model exactly
+        np.testing.assert_allclose(
+            np.asarray(h_w["stress_3d"]), np.asarray(s_d), rtol=1e-10,
+        )
+    # sanity: the path actually went plastic
+    assert float(jnp.max(h_d["alpha"])) > 1e-4

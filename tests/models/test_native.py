@@ -196,3 +196,47 @@ def test_umat_in_bvp_solve():
     np.testing.assert_allclose(
         np.asarray(problem.u), np.asarray(ref_problem.u), rtol=1e-9, atol=1e-14
     )
+
+
+def test_native_divergence_poisons_per_qp():
+    """A QP whose return map diverges comes back NaN; healthy QPs untouched.
+
+    ADVICE r1 (low): finite-but-unconverged native stresses must not pass
+    silently. models.cpp poison_qp gives per-QP granularity: only the failing
+    QP is NaN, so the solver's diverged_mask localizes the failure.
+    """
+    m = NativeModel(
+        "drucker_prager3d",
+        {"mu": 80.0, "kappa": 175.0, "a": 0.1, "b": 0.9, "b_flow": 0.9},
+    )
+    q = 4
+    # QP0: absurd hydrostatic tension far beyond the cone apex -> divergence;
+    # QP1: mild elastic strain; QP2/3: zero strain.
+    grad = (
+        jnp.zeros((q, 3, 3))
+        .at[0, 0, 0].set(50.0).at[0, 1, 1].set(50.0).at[0, 2, 2].set(50.0)
+        .at[1, 0, 0].set(1e-5)
+    )
+    s, _, _ = m.evaluate(
+        0.0, 1.0, grad, jnp.zeros((q, 6)), {"history": jnp.zeros((q, 7))}
+    )
+    s = np.asarray(s)
+    assert np.isnan(s[0]).all(), "diverged QP must be NaN-poisoned"
+    assert np.isfinite(s[1:]).all(), "healthy QPs must be untouched"
+
+
+def test_native_callback_does_not_mutate_operands():
+    """pure_callback operands are JAX-owned; the C kernels must write copies.
+
+    Feeds the same committed stress array through evaluate twice — if the
+    host bridge aliased the operand (ADVICE r1, medium), the second call
+    would see a doubly-incremented stress.
+    """
+    native = NativeModel("linear_elasticity3d", {"mu": MU, "kappa": KAPPA})
+    grad = rand_grad(8, seed=3)
+    s0 = jnp.asarray(np.random.default_rng(4).normal(size=(8, 6)))
+    s_a, _, _ = native.evaluate(0.0, 1.0, grad, s0, None)
+    s_b, _, _ = native.evaluate(0.0, 1.0, grad, s0, None)
+    np.testing.assert_array_equal(np.asarray(s_a), np.asarray(s_b))
+    # and the operand itself is unchanged
+    assert float(jnp.linalg.norm(s0 - jnp.asarray(np.asarray(s0)))) == 0.0
