@@ -89,6 +89,50 @@ class IncrSmallStrainModel(abc.ABC):
         # this layout raveled.
         return {name: jnp.zeros((n_qp, dim), dtype=dtype) for name, dim in hd.items()}
 
+    def evaluate_packed(self, t, del_t, eps, stress, history):
+        """Generic SoA adapter: run ANY model on the packed/structured engines.
+
+        The production engines call ``evaluate_packed(t, dt, eps[s, *qp],
+        stress[s, *qp], history {k: [d, *qp]})``; the hot models override this
+        with fused SoA kernels returning factored tangents. This default makes
+        every other model (Drucker-Prager, native/UMAT, user models) work on
+        the production path — the analog of the reference solver accepting any
+        law (/root/reference/src/fenics_constitutive/solver/_solver.py:54-73) —
+        by reshaping to the AoS ``evaluate`` contract and wrapping the dense
+        tangent.
+
+        The displacement-gradient increment handed to ``evaluate`` is the
+        SYMMETRIC tensor reconstructed from the Mandel strain increment
+        (``mandel_to_matrix``); small-strain models only read the symmetric
+        part, so this is exact for every IncrSmallStrainModel.
+        """
+        import numpy as _np
+
+        from ..ops import mandel as _mandel
+        from ..ops.packed import DenseTangent
+
+        c = self.constraint
+        s = c.stress_strain_dim
+        qp_shape = eps.shape[1:]
+        n = int(_np.prod(qp_shape))
+        eps_aos = eps.reshape(s, n).T
+        grad = _mandel.mandel_to_matrix(eps_aos, c)
+        stress_aos = stress.reshape(s, n).T
+        hist_aos = (
+            None
+            if history is None
+            else {k: v.reshape(v.shape[0], n).T for k, v in history.items()}
+        )
+        s_new, tg, h_new = self.evaluate(t, del_t, grad, stress_aos, hist_aos)
+        s_out = s_new.T.reshape(s, *qp_shape)
+        tangent = DenseTangent(tg.transpose(1, 2, 0).reshape(s, s, *qp_shape))
+        h_out = (
+            None
+            if h_new is None
+            else {k: v.T.reshape(v.shape[1], *qp_shape) for k, v in h_new.items()}
+        )
+        return s_out, tangent, h_out
+
 
 def register_model(cls=None, *, param_fields: tuple[str, ...] = ("params",)):
     """Class decorator registering a model as a JAX pytree.

@@ -236,7 +236,6 @@ class MisesPlasticityLinearHardening3D(IncrSmallStrainModel):
         safe_eq = jnp.where(s_tr_eq > 0.0, s_tr_eq, 1.0)
 
         del_alpha = jnp.where(plastic, (s_tr_eq - sigma_y) / (3.0 * mu + h), 0.0)
-        del_gamma = math.sqrt(3.0 / 2.0) * del_alpha
         theta = jnp.where(plastic, 1.0 - (3.0 * mu * del_alpha) / safe_eq, 1.0)
         n = jnp.where(plastic[:, None], s_tr / safe_eq[:, None], 0.0)
 
@@ -245,16 +244,27 @@ class MisesPlasticityLinearHardening3D(IncrSmallStrainModel):
 
         ioi = jnp.asarray(3.0 * mandel.projection_vol(6), dtype)
         pdev = jnp.asarray(mandel.projection_dev(6), dtype)
+        # Consistent tangent. NOTE: the reference's n(x)n term is wrong
+        # (comfe-rs/src/mises_plasticity.rs:119-122 uses +2mu*theta_bar with
+        # n = s_tr/q_eq); differentiating sigma_dev = theta(eps) s_tr(eps)
+        # gives -3mu*theta_bar for that n convention (Simo & Hughes Box 3.2
+        # with n_hat = sqrt(3/2) n). The wrong sign/scale costs Newton its
+        # quadratic convergence and stalls large plastic steps (FD-verified:
+        # 40% tangent error before, <1e-5 after).
         theta_bar = jnp.where(
             plastic, 1.0 / (1.0 + h / (3.0 * mu)) - (1.0 - theta), 0.0
         )
         tangent = (
             kappa * ioi
             + (2.0 * mu * theta)[:, None, None] * pdev
-            + (2.0 * mu * theta_bar)[:, None, None] * n[:, :, None] * n[:, None, :]
+            - (3.0 * mu * theta_bar)[:, None, None] * n[:, :, None] * n[:, None, :]
         )
+        # flow rule: del_eps_p = 1.5 * del_alpha * n (so that
+        # s_new = s_tr - 2mu*del_eps_p holds exactly; the reference records
+        # sqrt(3/2)*del_alpha*n, off by sqrt(2/3) — informational only there,
+        # but we keep the elastic-plastic split exact)
         history_new = {
             "alpha": (alpha + del_alpha)[:, None],
-            "plastic_strain": eps_p + del_gamma[:, None] * n,
+            "plastic_strain": eps_p + 1.5 * del_alpha[:, None] * n,
         }
         return stress_new, tangent, history_new

@@ -144,23 +144,28 @@ def _mises_linear_evaluate_packed(self, t, dt, eps, stress, history):
     theta_bar = jnp.where(plastic, 1.0 / (1.0 + h / (3.0 * mu)) - (1.0 - theta), 0.0)
 
     stress_new = p_1 * i2 + theta * s_tr
+    # flow-rule-exact plastic strain + corrected tangent (see models/mises.py
+    # note: the reference's +2mu*theta_bar n(x)n is wrong; -3mu*theta_bar for
+    # n = s_tr/q_eq restores quadratic Newton convergence)
     history_new = {
         "alpha": (alpha + del_alpha)[None],
-        "plastic_strain": eps_p + math.sqrt(1.5) * del_alpha * n,
+        "plastic_strain": eps_p + 1.5 * del_alpha * n,
     }
     tangent = IsotropicTangent(
-        kappa=kappa, beta=2.0 * mu * theta, gamma=2.0 * mu * theta_bar, n=n
+        kappa=kappa, beta=2.0 * mu * theta, gamma=-3.0 * mu * theta_bar, n=n
     )
     return stress_new, tangent, history_new
 
 
 def _linear_elasticity_evaluate_packed(self, t, dt, eps, stress, history):
-    del t, dt
     from ..ops.mandel import Constraint
+    from .interfaces import IncrSmallStrainModel
 
-    assert self._constraint == Constraint.FULL, (
-        "packed path currently supports the FULL constraint"
-    )
+    if self._constraint != Constraint.FULL:
+        # non-FULL constraints run through the generic dense-tangent adapter
+        return IncrSmallStrainModel.evaluate_packed(
+            self, t, dt, eps, stress, history
+        )
     E, nu = self.params["E"], self.params["nu"]
     mu = E / (2.0 * (1.0 + nu))
     ka = E / (3.0 * (1.0 - 2.0 * nu))
@@ -174,6 +179,102 @@ def _linear_elasticity_evaluate_packed(self, t, dt, eps, stress, history):
     return stress_new, tangent, history
 
 
+def _sls_packed_common(self):
+    """(mu0, lam0, ka0, mu1, ka1) for a FULL-constraint SLS kernel."""
+    E0, E1, nu = self.params["E0"], self.params["E1"], self.params["nu"]
+    mu0 = E0 / (2.0 * (1.0 + nu))
+    lam0 = E0 * nu / ((1.0 + nu) * (1.0 - 2.0 * nu))
+    ka0 = lam0 + 2.0 * mu0 / 3.0
+    mu1 = E1 / (2.0 * (1.0 + nu))
+    lam1 = E1 * nu / ((1.0 + nu) * (1.0 - 2.0 * nu))
+    ka1 = lam1 + 2.0 * mu1 / 3.0
+    return mu0, lam0, ka0, mu1, ka1
+
+
+def _spring_kelvin_evaluate_packed(self, t, dt, eps, stress, history):
+    """SoA twin of SpringKelvinModel.evaluate (viscoelasticity.py) with a
+    FACTORED tangent: the SLS tangent is scale * D0, i.e. isotropic with
+    kappa = scale*ka0, beta = scale*2mu0 — 2 scalars instead of a [6, 6, N]
+    dense field on the CG hot path."""
+    from ..ops.mandel import Constraint
+    from .interfaces import IncrSmallStrainModel
+
+    if self._constraint != Constraint.FULL:
+        return IncrSmallStrainModel.evaluate_packed(
+            self, t, dt, eps, stress, history
+        )
+    del t
+    tau = self.params["tau"]
+    mu0, lam0, ka0, mu1, _ = _sls_packed_common(self)
+    sv_n = history["strain_visco"]
+    strain_n = history["strain"]
+    tr_eps, e_dev, i2 = _dev_soa(eps)
+
+    factor = 1.0 / dt + 1.0 / tau + mu0 / (tau * mu1)
+    deps_v = (1.0 / factor) * (
+        stress / (2.0 * tau * mu1)
+        - sv_n / tau
+        + (mu0 / (tau * mu1)) * eps
+        + (lam0 / (2.0 * tau * mu1)) * tr_eps * i2
+    )
+    stress_new = stress + ka0 * tr_eps * i2 + 2.0 * mu0 * e_dev - 2.0 * mu0 * deps_v
+    scale = 1.0 - mu0 / (tau * mu1 * factor)
+    tangent = IsotropicTangent(
+        kappa=scale * ka0,
+        beta=scale * 2.0 * mu0,
+        gamma=jnp.zeros((), eps.dtype),
+        n=jnp.zeros((6,) + (1,) * (eps.ndim - 1), eps.dtype),
+    )
+    history_new = {"strain_visco": sv_n + deps_v, "strain": strain_n + eps}
+    return stress_new, tangent, history_new
+
+
+def _spring_maxwell_evaluate_packed(self, t, dt, eps, stress, history):
+    """SoA twin of SpringMaxwellModel.evaluate with a factored tangent
+    (kappa = ka0 + f*ka1, beta = 2mu0 + f*2mu1)."""
+    from ..ops.mandel import Constraint
+    from .interfaces import IncrSmallStrainModel
+
+    if self._constraint != Constraint.FULL:
+        return IncrSmallStrainModel.evaluate_packed(
+            self, t, dt, eps, stress, history
+        )
+    del t
+    tau = self.params["tau"]
+    mu0, _, ka0, mu1, ka1 = _sls_packed_common(self)
+    sv_n = history["strain_visco"]
+    strain_n = history["strain"]
+
+    strain_total = strain_n + eps
+    tr_st, st_dev, i2 = _dev_soa(strain_total)
+    factor = 1.0 / dt + 1.0 / tau
+    # D1 : strain_total in factored form
+    d1_st = ka1 * tr_st * i2 + 2.0 * mu1 * st_dev
+    deps_v = (1.0 / factor) * (d1_st / (2.0 * tau * mu1) - sv_n / tau)
+
+    tr_eps, e_dev, _ = _dev_soa(eps)
+    stress_new = (
+        stress
+        + (ka0 + ka1) * tr_eps * i2
+        + 2.0 * (mu0 + mu1) * e_dev
+        - 2.0 * mu1 * deps_v
+    )
+    f = 1.0 - 1.0 / (tau * factor)
+    tangent = IsotropicTangent(
+        kappa=ka0 + f * ka1,
+        beta=2.0 * mu0 + f * 2.0 * mu1,
+        gamma=jnp.zeros((), eps.dtype),
+        n=jnp.zeros((6,) + (1,) * (eps.ndim - 1), eps.dtype),
+    )
+    history_new = {"strain_visco": sv_n + deps_v, "strain": strain_n + eps}
+    return stress_new, tangent, history_new
+
+
 VonMises3D.evaluate_packed = _vonmises_evaluate_packed
 MisesPlasticityLinearHardening3D.evaluate_packed = _mises_linear_evaluate_packed
 LinearElasticityModel.evaluate_packed = _linear_elasticity_evaluate_packed
+
+from .viscoelasticity import SpringKelvinModel, SpringMaxwellModel  # noqa: E402
+
+SpringKelvinModel.evaluate_packed = _spring_kelvin_evaluate_packed
+SpringMaxwellModel.evaluate_packed = _spring_maxwell_evaluate_packed

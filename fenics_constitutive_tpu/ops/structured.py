@@ -1,30 +1,37 @@
-"""Structured-grid fast path: FEM kinematics/assembly as MXU convolutions.
+"""Structured-grid fast path: flat index-space FEM with MXU channel contractions.
 
-XLA's generic gather/scatter maps poorly onto TPU (measured ~23 ms for a
-397k x 24 dof gather on v5e), and shifted slice-adds on a 3-D node grid cost
-~0.5 ms each as dynamic-update-slices. On a structured tensor grid both sides
-of the element loop are size-2^d stencils, i.e. convolutions — and because the
-Mandel strain operator and the quadrature weights are LINEAR, they fold into
-the conv kernels:
+TPU arrays are tiled (sublane, lane) = (8, 128) on the two minor dims. The
+round-1 engine kept QP fields as ``[comp, Q, X, Y, Z]`` and expressed the
+element stencils as convolutions — correct, but every elementwise op then ran
+on ``[.., 50, 50]`` tiles using 50 of 128 lanes (2.56x waste) and the compiled
+HLO wrapped each conv in layout-change copies. Measured on v5e, a CG
+iteration cost 2.3 ms where bandwidth says ~0.2 ms.
 
-  * strain:    eps[(s,q), cell] = sum_{a,i,j} M[s,i,j] dN[a,i,q] u[j, cell+off_a]
-               == conv(u_grid, KEPS): one MXU op from displacements straight
-               to Mandel strains;
-  * assembly:  r[j, node] = sum_{s,q,a,i} M[s,i,j] dN[a,i,q] w_q sig[(s,q), node-off_a]
-               == conv(sig, KDIV) with padding 1 (KDIV is KEPS mirrored and
-               weight-scaled): one MXU op straight from Mandel stresses to
-               assembled nodal forces.
+This engine flattens the node grid to ONE minor axis of length
+``M = prod(grid+1)`` (full lane utilization, no layout copies) and exploits
+that on a translation-invariant grid every corner stencil is a CONSTANT flat
+offset ``off_a = dx*SY + dy*SZ + dz``:
 
-Everything between the two convs (the constitutive update, the factored
-tangent apply) is elementwise and runs IN the conv-native layout
-``[comp, Q, *grid]`` — no transposes, pads, or retiling copies anywhere in
-the CG matvec (these dominated the profile before this folding).
+  * corner gather:  ``U[(a,j), n] = u[j, n + off_a]`` — 2^d static slices of a
+    right-padded ``[vs, M]`` array (no gathers, no dynamic shapes);
+  * strain:         ``e[(s,q), n] = KEPS_c @ U`` — one ``[s*Q, n*vs] x
+    [n*vs, M]`` matmul on the MXU (Mandel map and reference gradients folded
+    into the constant matrix);
+  * divergence:     ``F[(a,j), n] = KDIV_c @ sig`` (weights folded), then
+    ``r[j, n] = sum_a F[(a,j), n - off_a]`` — 2^d static shifted adds that XLA
+    fuses into one pass.
 
-All cells share one Jacobian on these grids, so dN/w are compile-time kernel
-constants. `ops.packed.PackedGeometry` remains the general-mesh path with
-identical semantics (pinned by tests/solver/test_packed.py); QP fields there
-are [comp, N] with N = Q*C q-major — the grid layout here flattens to exactly
-that ordering, so observation code can reshape freely.
+Cell/QP fields live on the NODE-grid footprint ("cell-at-origin" layout,
+``[k, Q, M]``): cell (x,y,z) sits at its origin node's flat index; origins on
+the high faces (x=X etc.) are invalid and masked (~6% padding at 50^3 — the
+price of making every shift a plain slice). ``extract_cells``/``cell_index``
+map to dense per-cell arrays for observation.
+
+The reference reaches the same math through UFL forms + ffcx-generated
+kernels + PETSc assembly (SURVEY §3.2); there is no analog of this layout
+work there — dolfinx's unstructured assembly cannot assume a shared cell
+Jacobian. ``ops.packed.PackedGeometry`` remains our general-mesh path with
+identical semantics (pinned by tests/solver/test_packed.py).
 """
 
 from __future__ import annotations
@@ -45,24 +52,27 @@ __all__ = ["StructuredGeometry", "build_structured_geometry"]
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["KEPS", "KDIV", "KSCAT"],
+    data_fields=["KEPS_c", "KDIV_c", "mask", "cell_index"],
     meta_fields=[
         "grid", "vs", "ndofs", "constraint", "n_nodes", "n_qp", "n_cells",
-        "dN_host", "w_host",
+        "M", "offsets", "dN_host", "w_host",
     ],
 )
 @dataclass(frozen=True)
 class StructuredGeometry:
-    """Uniform-cell tensor-grid geometry with conv-folded tabulation.
+    """Uniform-cell tensor-grid geometry, flat index-space formulation.
 
-    KEPS:  [(s,q) out, vs in, 2^d]    u-grid -> Mandel strain conv kernel
-    KDIV:  [vs out, (s,q) in, 2^d]    Mandel stress -> nodal force conv kernel
-    KSCAT: [vs out, (a,vs) in, 2^d]   corner scatter (Jacobi diagonal)
+    KEPS_c: [s*Q, n*vs]  corner dofs -> Mandel strain channels (MXU matrix)
+    KDIV_c: [n*vs, s*Q]  weighted stress channels -> per-corner nodal forces
+    mask:   [M]          1.0 at valid cell origins, 0.0 on high faces
+    cell_index: [C]      flat node index of each cell's origin (mesh ordering)
+    offsets: per-corner flat node offsets (host tuple)
     """
 
-    KEPS: jnp.ndarray
-    KDIV: jnp.ndarray
-    KSCAT: jnp.ndarray
+    KEPS_c: jnp.ndarray
+    KDIV_c: jnp.ndarray
+    mask: jnp.ndarray
+    cell_index: jnp.ndarray
     grid: tuple
     vs: int
     ndofs: int
@@ -70,11 +80,14 @@ class StructuredGeometry:
     n_nodes: int
     n_qp: int
     n_cells: int
+    M: int
+    offsets: tuple
     dN_host: tuple  # [n][g][Q] nested tuples (hashable host constants)
     w_host: tuple
 
     @property
     def N(self) -> int:
+        """Logical QP count (valid cells only; flat fields carry Q*M slots)."""
         return self.n_qp * self.n_cells
 
     @property
@@ -89,119 +102,124 @@ class StructuredGeometry:
     def sdim(self) -> int:
         return self.constraint.stress_strain_dim
 
+    @property
+    def maxoff(self) -> int:
+        return max(self.offsets)
+
     def qp_shape(self, k: int) -> tuple:
         """Shape of a k-component QP field in this engine's native layout."""
-        return (k, self.n_qp, *self.grid)
+        return (k, self.n_qp, self.M)
 
-    # -- conv plumbing --------------------------------------------------------
-
-    def _dimnums(self):
-        sp = "DHW"[3 - self.gdim :]
-        return (f"NC{sp}", f"OI{sp}", f"NC{sp}")
-
-    def _conv(self, x, k, padding):
-        return jax.lax.conv_general_dilated(
-            x[None],
-            k.astype(x.dtype),
-            window_strides=(1,) * self.gdim,
-            padding=padding,
-            dimension_numbers=self._dimnums(),
-            preferred_element_type=x.dtype,
-        )[0]
-
-    def _u_grid(self, u: jnp.ndarray) -> jnp.ndarray:
-        """[ndofs] (node-major) -> [vs, *node_grid]."""
-        shape = tuple(g + 1 for g in self.grid) + (self.vs,)
-        ug = u.reshape(shape)
-        perm = (self.gdim,) + tuple(range(self.gdim))
-        return ug.transpose(perm)
-
-    # -- grid-major dof ordering ----------------------------------------------
-    # The public dof layout is node-major ([*nodes, vs] flattened, matching
-    # FunctionSpace). Internally every conv wants component-major
-    # ([vs, *nodes]); converting per matvec costs two retiling copies per CG
-    # iteration — measured comparable to the convs themselves. The solver
-    # therefore runs CG in GRID-MAJOR flat vectors (reshape = free) and
-    # converts once per Newton step via to_grid_major/to_node_major.
+    # -- layout plumbing -------------------------------------------------------
+    # "grid-major" (gm) dof vectors are [vs, M] flattened (component-major);
+    # the public node-major layout is [M, vs] flattened. The Krylov loop runs
+    # grid-major so the corner slices are contiguous; conversion happens once
+    # per Newton solve.
 
     def to_grid_major(self, u: jnp.ndarray) -> jnp.ndarray:
-        return self._u_grid(u).reshape(-1)
+        return u.reshape(self.M, self.vs).T.reshape(-1)
 
     def to_node_major(self, u_gm: jnp.ndarray) -> jnp.ndarray:
-        g = u_gm.reshape((self.vs,) + tuple(s + 1 for s in self.grid))
-        perm = tuple(range(1, self.gdim + 1)) + (0,)
-        return g.transpose(perm).reshape(-1)
+        return u_gm.reshape(self.vs, self.M).T.reshape(-1)
+
+    def _corner_dofs(self, u_cm: jnp.ndarray) -> jnp.ndarray:
+        """[vs, M] component-major nodes -> [n*vs, M] corner dof channels."""
+        up = jnp.pad(u_cm, ((0, 0), (0, self.maxoff)))
+        rows = [up[:, off : off + self.M] for off in self.offsets]
+        return jnp.concatenate(rows, axis=0)
+
+    def _scatter_corners(self, F: jnp.ndarray) -> jnp.ndarray:
+        """[n*vs, M] per-corner forces -> [vs, M] component-major nodes.
+
+        r[j, n] = sum_a F[(a,j), n - off_a]; implemented as 2^d static
+        left-padded slices so XLA fuses the sum into one elementwise pass.
+        """
+        mo = self.maxoff
+        Fp = jnp.pad(F, ((0, 0), (mo, 0)))
+        out = None
+        for a, off in enumerate(self.offsets):
+            sl = Fp[a * self.vs : (a + 1) * self.vs, mo - off : mo - off + self.M]
+            out = sl if out is None else out + sl
+        return out
+
+    # -- grid-major hot-path ops ----------------------------------------------
 
     def strain_gm(self, u_gm: jnp.ndarray) -> jnp.ndarray:
-        """Mandel strain of a grid-major dof vector: [s, Q, *grid]."""
-        g = u_gm.reshape((self.vs,) + tuple(s + 1 for s in self.grid))
-        out = self._conv(g, self.KEPS, "VALID")
-        return out.reshape(self.sdim, self.n_qp, *self.grid)
+        """Mandel strain of a grid-major dof vector: [s, Q, M] (masked)."""
+        U = self._corner_dofs(u_gm.reshape(self.vs, self.M))
+        e = jnp.matmul(
+            self.KEPS_c.astype(U.dtype), U, preferred_element_type=U.dtype
+        )
+        e = e * self.mask.astype(U.dtype)
+        return e.reshape(self.sdim, self.n_qp, self.M)
 
     def residual_gm(self, sigma: jnp.ndarray) -> jnp.ndarray:
-        """sigma [s, Q, *grid] -> grid-major assembled force [ndofs]."""
-        x = sigma.reshape(self.sdim * self.n_qp, *self.grid)
-        r = self._conv(x, self.KDIV, [(1, 1)] * self.gdim)
-        return r.reshape(-1)
+        """sigma [s, Q, M] -> grid-major assembled force [vs*M]."""
+        sig = sigma.reshape(self.sdim * self.n_qp, self.M) * self.mask.astype(
+            sigma.dtype
+        )
+        F = jnp.matmul(
+            self.KDIV_c.astype(sig.dtype), sig, preferred_element_type=sig.dtype
+        )
+        return self._scatter_corners(F).reshape(-1)
 
     def matvec_gm(self, v_gm: jnp.ndarray, tangent) -> jnp.ndarray:
         return self.residual_gm(tangent.apply(self.strain_gm(v_gm)))
 
     def jacobi_diag_gm(self, tangent) -> jnp.ndarray:
-        return self.to_grid_major(self.jacobi_diag(tangent))
+        """diag(A) in grid-major layout via per-corner B^T C B."""
+        dtype = self.KEPS_c.dtype
+        M_map = jnp.asarray(mandel._mandel_matrix_map(self.constraint), dtype)
+        dN = jnp.asarray(np.asarray(self.dN_host), dtype)  # [n, g, Q]
+        w = jnp.asarray(np.asarray(self.w_host), dtype)  # [Q]
+        m = self.mask.astype(dtype)
+        rows = []
+        for a in range(self.n_nodes):
+            # B_a [s, vs, Q, 1] broadcasts against tangent fields [Q, M]
+            B_a = jnp.einsum("sij,iq->sjq", M_map, dN[a])[..., None]
+            q = tangent.quad_diag(B_a) * w[:, None]  # [vs, Q, M] (or bcast)
+            q = jnp.broadcast_to(q, (self.vs, self.n_qp, self.M))
+            rows.append(q.sum(axis=1) * m)  # [vs, M]
+        F = jnp.concatenate(rows, axis=0)  # [n*vs, M]
+        return self._scatter_corners(F).reshape(-1)
 
     # -- engine interface (node-major public semantics) -------------------------
 
     def strain(self, u: jnp.ndarray) -> jnp.ndarray:
-        """Mandel strain of a dof vector: [s, Q, *grid]."""
-        out = self._conv(self._u_grid(u), self.KEPS, "VALID")
-        return out.reshape(self.sdim, self.n_qp, *self.grid)
-
-    def grad(self, u: jnp.ndarray) -> jnp.ndarray:
-        """Full displacement gradient [g, vs, N] (observation/debug path;
-        the hot path uses `strain` directly)."""
-        # reconstruct from corner slices (not conv-folded; rarely used)
-        ug = self._u_grid(u)
-        dN = np.asarray(self.dN_host)
-        out = 0.0
-        for a, off in enumerate(_corner_offsets(self.gdim)):
-            sl = (slice(None),) + tuple(slice(o, o + g) for o, g in zip(off, self.grid))
-            ue = ug[sl].reshape(self.vs, self.n_cells)  # [j, C]
-            out = out + jnp.asarray(dN[a], ue.dtype)[:, :, None, None] * ue[None, None]
-        # out: [g, Q, j, C] -> [g, j, N]
-        return out.transpose(0, 2, 1, 3).reshape(self.gdim, self.vs, self.N)
+        """Mandel strain of a node-major dof vector: [s, Q, M]."""
+        return self.strain_gm(self.to_grid_major(u))
 
     def residual(self, sigma: jnp.ndarray) -> jnp.ndarray:
-        """r = integral eps_m(v) . sigma; sigma [s, Q, *grid] -> [ndofs]."""
-        x = sigma.reshape(self.sdim * self.n_qp, *self.grid)
-        r = self._conv(x, self.KDIV, [(1, 1)] * self.gdim)  # [vs, *node_grid]
-        perm = tuple(range(1, self.gdim + 1)) + (0,)
-        return r.transpose(perm).reshape(-1)
+        """r = integral eps_m(v) . sigma; sigma [s, Q, M] -> node-major [ndofs]."""
+        return self.to_node_major(self.residual_gm(sigma))
 
     def matvec(self, v: jnp.ndarray, tangent) -> jnp.ndarray:
-        return self.residual(tangent.apply(self.strain(v)))
+        return self.to_node_major(self.matvec_gm(self.to_grid_major(v), tangent))
 
     def jacobi_diag(self, tangent) -> jnp.ndarray:
-        M = jnp.asarray(mandel._mandel_matrix_map(self.constraint), self.KEPS.dtype)
-        n, g, Q = self.n_nodes, self.gdim, self.n_qp
-        dN = jnp.asarray(np.asarray(self.dN_host), self.KEPS.dtype)  # [n, g, Q]
-        w = jnp.asarray(np.asarray(self.w_host), self.KEPS.dtype)  # [Q]
-        ones = (1,) * g
-        contribs = []
-        for a in range(n):
-            # B_a[s, vs, Q] broadcast over the cell grid
-            B_a = jnp.einsum("sij,iq->sjq", M, dN[a]).reshape(
-                self.sdim, self.vs, Q, *ones
-            )
-            q = tangent.quad_diag(B_a) * w.reshape(Q, *ones)
-            # broadcast explicitly: constant (scalar-coefficient) tangents keep
-            # q at singleton grid dims
-            q = jnp.broadcast_to(q, (self.vs, Q, *self.grid))
-            contribs.append(q.sum(axis=1))  # [vs, *grid]
-        x = jnp.stack(contribs, axis=0).reshape(n * self.vs, *self.grid)
-        d = self._conv(x, self.KSCAT, [(1, 1)] * self.gdim)
-        perm = tuple(range(1, self.gdim + 1)) + (0,)
-        return d.transpose(perm).reshape(-1)
+        return self.to_node_major(self.jacobi_diag_gm(tangent))
+
+    def grad(self, u: jnp.ndarray) -> jnp.ndarray:
+        """Full displacement gradient [g, vs, Q*M] (observation/debug path;
+        the hot path uses `strain` directly). Invalid origins are zeroed."""
+        dtype = u.dtype
+        U = self._corner_dofs(self.to_grid_major(u).reshape(self.vs, self.M))
+        U = U.reshape(self.n_nodes, self.vs, self.M) * self.mask.astype(dtype)
+        dN = jnp.asarray(np.asarray(self.dN_host), dtype)  # [n, g, Q]
+        out = jnp.einsum("aiq,ajm->ijqm", dN, U)
+        return out.reshape(self.gdim, self.vs, self.n_qp * self.M)
+
+    # -- observation helpers ----------------------------------------------------
+
+    def extract_cells(self, field: jnp.ndarray) -> jnp.ndarray:
+        """[k, Q, M] cell-at-origin field -> dense [k, Q, C] in mesh cell order."""
+        return field[:, :, self.cell_index]
+
+    def insert_cells(self, dense: jnp.ndarray, dtype=None) -> jnp.ndarray:
+        """[k, Q, C] dense per-cell field -> [k, Q, M] cell-at-origin layout."""
+        k, Q, _ = dense.shape
+        out = jnp.zeros((k, Q, self.M), dtype or dense.dtype)
+        return out.at[:, :, self.cell_index].set(dense)
 
 
 def _corner_offsets(gdim: int):
@@ -212,7 +230,7 @@ def _corner_offsets(gdim: int):
 def build_structured_geometry(
     space, q_degree: int, constraint: Constraint, dtype=None
 ) -> StructuredGeometry:
-    """Conv-kernel geometry for a box mesh from unit_cube_mesh('hex') /
+    """Flat-index geometry for a box mesh from unit_cube_mesh('hex') /
     unit_square_mesh('quad') (requires mesh.structured_shape metadata)."""
     from ..fem.elements import tabulate_element
     from ..fem.kinematics import _geometry_grad_at
@@ -240,44 +258,52 @@ def build_structured_geometry(
     Q = quad.points.shape[0]
     vs = space.value_size
     offs = _corner_offsets(gdim)
-    ksp = (2,) * gdim
-    M = mandel._mandel_matrix_map(constraint)  # [s, g, g]
+    M_map = mandel._mandel_matrix_map(constraint)  # [s, g, g]
 
-    # KEPS: VALID conv, out[c] = sum_k K[k] u[c + k]; channel order (s, q) so
-    # the output reshapes straight to [s, Q, *grid].
-    KEPS = np.zeros((sdim * Q, vs, *ksp))
-    for a, off in enumerate(offs):
+    node_grid = tuple(g + 1 for g in grid)
+    M = int(np.prod(node_grid))
+    # flat strides, row-major [X+1, Y+1, Z+1] with z minor (matching mesh.py
+    # node ordering / the old engine's reshape)
+    strides = [1]
+    for L in reversed(node_grid[1:]):
+        strides.append(strides[-1] * L)
+    strides = list(reversed(strides))  # strides[d] for dim d
+    flat_offsets = tuple(
+        int(sum(o * s for o, s in zip(off, strides))) for off in offs
+    )
+
+    # coef[(s,q), (a,j)] = sum_i M[s,i,j] dN[a,i,q]
+    KEPS_c = np.zeros((sdim * Q, n * vs))
+    for a in range(n):
         for s in range(sdim):
             for q in range(Q):
                 for j in range(vs):
-                    coef = sum(M[s, i, j] * dN[a, i, q] for i in range(gdim))
-                    KEPS[s * Q + q, j][off] += coef
+                    KEPS_c[s * Q + q, a * vs + j] = sum(
+                        M_map[s, i, j] * dN[a, i, q] for i in range(gdim)
+                    )
+    # KDIV folds the quadrature weights: F = (w .* sig)^T contraction
+    KDIV_c = KEPS_c.T.copy()
+    for q in range(Q):
+        KDIV_c[:, [s * Q + q for s in range(sdim)]] *= w[q]
 
-    # KDIV: padding-1 conv, out[p] = sum_k K[k] x[p + k - 1]; cell c feeds node
-    # p = c + off via k = 1 - off (mirrored). M^T and w fold in.
-    KDIV = np.zeros((vs, sdim * Q, *ksp))
-    for a, off in enumerate(offs):
-        koff = tuple(1 - o for o in off)
-        for s in range(sdim):
-            for q in range(Q):
-                for j in range(vs):
-                    coef = sum(M[s, i, j] * dN[a, i, q] for i in range(gdim))
-                    KDIV[j, s * Q + q][koff] += coef * w[q]
-
-    # KSCAT: plain mirrored corner scatter for per-(a, vs) cell fields.
-    KSCAT = np.zeros((vs, n * vs, *ksp))
-    for a, off in enumerate(offs):
-        koff = tuple(1 - o for o in off)
-        for j in range(vs):
-            KSCAT[j, a * vs + j][koff] = 1.0
+    # valid-origin mask and cell origin indices (mesh cell order: row-major
+    # over the cell grid, z fastest — same as the node flat order restricted
+    # to origins)
+    idx_nd = np.indices(node_grid)  # [gdim, *node_grid]
+    valid = np.ones(node_grid, bool)
+    for d in range(gdim):
+        valid &= idx_nd[d] < grid[d]
+    mask = valid.reshape(-1).astype(np.float64)
+    cell_index = np.flatnonzero(mask).astype(np.int32)
 
     def _tup(x):
         return tuple(map(_tup, x)) if isinstance(x, np.ndarray) and x.ndim else float(x)
 
     return StructuredGeometry(
-        KEPS=jnp.asarray(KEPS, dtype),
-        KDIV=jnp.asarray(KDIV, dtype),
-        KSCAT=jnp.asarray(KSCAT, dtype),
+        KEPS_c=jnp.asarray(KEPS_c, dtype),
+        KDIV_c=jnp.asarray(KDIV_c, dtype),
+        mask=jnp.asarray(mask, dtype),
+        cell_index=jnp.asarray(cell_index),
         grid=tuple(grid),
         vs=vs,
         ndofs=space.ndofs,
@@ -285,6 +311,8 @@ def build_structured_geometry(
         n_nodes=n,
         n_qp=Q,
         n_cells=int(np.prod(grid)),
+        M=M,
+        offsets=flat_offsets,
         dN_host=_tup(dN),
         w_host=_tup(w),
     )

@@ -160,9 +160,9 @@ class MultigridPreconditioner:
     # -- level ops -------------------------------------------------------------
     def _tangent(self, lvl, dtype):
         del lvl
-        gdim = len(self.node_grids[0])
-        # n must carry the QP-field rank for broadcasting in apply/quad_diag
-        n_shape = (6,) + (1,) * (1 + gdim)
+        # n must carry the QP-field rank ([k, Q, M] in the flat engine) for
+        # broadcasting in apply/quad_diag
+        n_shape = (6, 1, 1)
         return IsotropicTangent(
             kappa=jnp.asarray(self.kappa, dtype),
             beta=jnp.asarray(2.0 * self.mu, dtype),
@@ -282,7 +282,7 @@ def build_multigrid(
     from ..fem.mesh import Mesh
     from ..ops.structured import build_structured_geometry
 
-    dtype = dtype or geo.KEPS.dtype
+    dtype = dtype or geo.KEPS_c.dtype
     vs = geo.vs
     gdim = geo.gdim
 
@@ -315,7 +315,7 @@ def build_multigrid(
         frees.append(fine[sl].reshape(-1))
 
     # diagonal components (linear in kappa and beta=2mu)
-    n_shape = (6,) + (1,) * (1 + gdim)
+    n_shape = (6, 1, 1)
     unit_kappa = IsotropicTangent(
         kappa=jnp.asarray(1.0, dtype), beta=jnp.asarray(0.0, dtype),
         gamma=jnp.asarray(0.0, dtype), n=jnp.zeros(n_shape, dtype),

@@ -149,9 +149,13 @@ class PackedSimulation:
     def stress(self) -> np.ndarray:
         """Committed Mandel stress in reference-compatible [C, Q, s] order."""
         geo = self._geos[0]
-        s = np.asarray(self.state.stress[0])
+        s = self.state.stress[0]
+        if hasattr(geo, "extract_cells"):  # flat structured engine [s, Q, M]
+            return np.asarray(geo.extract_cells(s)).transpose(2, 1, 0)
         sdim = s.shape[0]
-        return s.reshape(sdim, geo.n_qp, geo.n_cells).transpose(2, 1, 0)
+        return (
+            np.asarray(s).reshape(sdim, geo.n_qp, geo.n_cells).transpose(2, 1, 0)
+        )
 
     @property
     def histories(self):

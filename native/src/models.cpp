@@ -75,19 +75,23 @@ void mises_linear(const double* p, const double* grad, double* stress,
     return;
   }
   const double del_alpha = (s_eq - sigma_y) / (3.0 * mu + h);
-  const double del_gamma = std::sqrt(1.5) * del_alpha;
   const double theta = 1.0 - (3.0 * mu * del_alpha) / s_eq;
   Vec6 n;
   for (int i = 0; i < 6; ++i) n[i] = s_tr[i] / s_eq;
-  for (int i = 0; i < 6; ++i) hist[1 + i] += del_gamma * n[i];
+  // flow rule: del_eps_p = 1.5 del_alpha n (exact elastic-plastic split;
+  // the reference records sqrt(3/2) del_alpha n, mises_plasticity.rs:113)
+  for (int i = 0; i < 6; ++i) hist[1 + i] += 1.5 * del_alpha * n[i];
   hist[0] += del_alpha;
   for (int i = 0; i < 3; ++i) stress[i] = p1 + theta * s_tr[i];
   for (int i = 3; i < 6; ++i) stress[i] = theta * s_tr[i];
   if (tangent) {
+    // consistent tangent: -3 mu theta_bar n(x)n for n = s_tr/q_eq (the
+    // reference's +2 mu theta_bar, mises_plasticity.rs:119-122, is wrong —
+    // see models/mises.py derivation note)
     const double theta_bar = 1.0 / (1.0 + h / (3.0 * mu)) - (1.0 - theta);
     for (int i = 0; i < 6; ++i)
       for (int j = 0; j < 6; ++j) {
-        double v = 2.0 * mu * theta_bar * n[i] * n[j];
+        double v = -3.0 * mu * theta_bar * n[i] * n[j];
         if (i < 3 && j < 3) v += kappa;
         v += 2.0 * mu * theta *
              ((i == j ? 1.0 : 0.0) - (i < 3 && j < 3 ? 1.0 / 3.0 : 0.0));

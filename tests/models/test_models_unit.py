@@ -166,11 +166,19 @@ def test_mises_linear_hardening_closed_form():
     expect = kappa * tr * np.array([1, 1, 1, 0, 0, 0.0]) + theta * s_tr
     np.testing.assert_allclose(np.asarray(stress[0]), expect, rtol=1e-12)
     np.testing.assert_allclose(np.asarray(hist1["alpha"][0, 0]), del_alpha, rtol=1e-12)
-    # plastic strain increment is sqrt(3/2) del_alpha * n
+    # plastic strain increment from the flow rule: 1.5 del_alpha * n, which
+    # makes the split exact: s_new = s_tr - 2 mu del_eps_p. (The reference
+    # records sqrt(3/2) del_alpha * n — off by sqrt(2/3);
+    # mises_plasticity.rs:113.)
     n = s_tr / s_eq
     np.testing.assert_allclose(
         np.asarray(hist1["plastic_strain"][0]),
-        np.sqrt(1.5) * del_alpha * n,
+        1.5 * del_alpha * n,
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        theta * s_tr,
+        s_tr - 2 * mu * np.asarray(hist1["plastic_strain"][0]),
         rtol=1e-12,
     )
 
@@ -300,3 +308,34 @@ def test_from3d_wrapper_multistep_plasticity_equivalence(wrapper_cls):
         )
     # sanity: the path actually went plastic
     assert float(jnp.max(h_d["alpha"])) > 1e-4
+
+
+@pytest.mark.parametrize("make_law", [
+    pytest.param(lambda: LinearElasticityModel({"E": 42000.0, "nu": 0.3}, Constraint.FULL), id="elastic"),
+    pytest.param(lambda: MisesPlasticityLinearHardening3D(
+        {"mu": 80769.0, "kappa": 175000.0, "y_0": 1200.0, "h": 5000.0}), id="mises-lin"),
+    pytest.param(lambda: VonMises3D(
+        {"p_ka": 175000.0, "p_mu": 80769.0, "p_y0": 1200.0, "p_y00": 2500.0, "p_w": 200.0}), id="mises-exp"),
+])
+def test_consistent_tangent_matches_finite_differences(make_law):
+    """The algorithmic tangent must be the exact derivative of the stress
+    update (this is what gives Newton its quadratic convergence). Catches the
+    reference's wrong n(x)n term in the linear-hardening model
+    (comfe-rs/src/mises_plasticity.rs:119-122: +2mu*theta_bar where the
+    derivative of sigma_dev = theta(eps)*s_tr(eps) gives -3mu*theta_bar for
+    n = s_tr/q_eq)."""
+    law = make_law()
+    rng = np.random.default_rng(0)
+    g0 = jnp.asarray(rng.normal(size=(4, 3, 3)) * 5e-3)  # well plastic
+    s0 = jnp.zeros((4, 6))
+    h0 = law.init_history(4)
+    s_base, tg, _ = law.evaluate(0.0, 1.0, g0, s0, h0)
+    fd_eps = 1e-7
+    for trial in range(3):
+        dg = jnp.asarray(rng.normal(size=(4, 3, 3)))
+        s_p, _, _ = law.evaluate(0.0, 1.0, g0 + fd_eps * dg, s0, h0)
+        fd = (s_p - s_base) / fd_eps
+        de = mandel.strain_from_grad_u(dg, law.constraint)
+        pred = jnp.einsum("qst,qt->qs", tg, de)
+        err = float(jnp.linalg.norm(fd - pred) / jnp.linalg.norm(fd))
+        assert err < 1e-4, f"trial {trial}: tangent error {err:.3e}"

@@ -29,7 +29,8 @@ MAT = {
 }
 
 
-def build(n=8):
+def build(n=7):
+    # n odd so the flat node axis M = (n+1)^3 is divisible by the 8-device mesh
     mesh = unit_cube_mesh(n, n, n, "hex")
     V = FunctionSpace(mesh, 1, 3)
 
@@ -64,8 +65,9 @@ def test_structured_step_sharded_matches_unsharded():
 
     ref = run_steps(jitted, state)
 
-    # shard: QP fields [comp, Q, X, Y, Z] split on the X axis; dof vectors
-    # replicated. The convs get their halos from the SPMD partitioner.
+    # shard: QP fields [comp, Q, M] split on the flat node axis; dof vectors
+    # replicated. The corner shift-slices get their halos from the SPMD
+    # partitioner (pad + static slice -> collective-permute).
     mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("x",))
     qp_sh = NamedSharding(mesh, P(None, None, "x"))
     repl = NamedSharding(mesh, P())

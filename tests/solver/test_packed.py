@@ -159,9 +159,13 @@ def test_packed_step_matches_problem_solve(cell_type):
     np.testing.assert_allclose(
         np.asarray(state.u), np.asarray(problem.u), rtol=1e-10, atol=1e-12
     )
-    # stress fields agree (packed is [6, N] q-major; AoS is [C, Q, 6])
+    # stress fields agree (packed is [6, N] q-major / flat-structured is
+    # [6, Q, M] cell-at-origin; AoS is [C, Q, 6])
     C, Q = problem._stress_prev.shape[0], problem._stress_prev.shape[1]
-    s_soa = np.asarray(state.stress[0]).reshape(6, Q, C).transpose(2, 1, 0)
+    if hasattr(geos[0], "extract_cells"):
+        s_soa = np.asarray(geos[0].extract_cells(state.stress[0])).transpose(2, 1, 0)
+    else:
+        s_soa = np.asarray(state.stress[0]).reshape(6, Q, C).transpose(2, 1, 0)
     np.testing.assert_allclose(
         s_soa, np.asarray(problem._stress_prev), rtol=1e-8, atol=1e-8
     )

@@ -99,3 +99,77 @@ def test_convergence_reporting_semantics():
     niter_b, conv_b = sim_b.solve()
     assert niter_b == n_free
     assert conv_b, "converging exactly on the max_newton-th iteration is converged"
+
+
+# --- every model on the production path (VERDICT r1 #3) ---------------------
+
+from fenics_constitutive_tpu.models import (  # noqa: E402
+    Constraint,
+    DruckerPrager3D,
+    DruckerPragerHyperbolic3D,
+    LinearElasticityModel,
+    MisesPlasticityLinearHardening3D,
+    SpringKelvinModel,
+    SpringMaxwellModel,
+)
+
+DP = {"mu": 80769.0, "kappa": 175000.0, "a": 1000.0, "b": 0.15, "b_flow": 0.15}
+DPH = {**{k: v for k, v in DP.items()}, "d": 0.1}
+SLS = {"E0": 42000.0, "E1": 10000.0, "tau": 2.0, "nu": 0.3}
+
+ALL_LAWS = [
+    pytest.param(lambda: LinearElasticityModel({"E": 42000.0, "nu": 0.3}, Constraint.FULL), id="elastic"),
+    pytest.param(lambda: VonMises3D(MAT), id="mises-exp"),
+    pytest.param(lambda: MisesPlasticityLinearHardening3D(
+        {"mu": 80769.0, "kappa": 175000.0, "y_0": 1200.0, "h": 5000.0}), id="mises-lin"),
+    pytest.param(lambda: SpringKelvinModel(SLS, Constraint.FULL), id="kelvin"),
+    pytest.param(lambda: SpringMaxwellModel(SLS, Constraint.FULL), id="maxwell"),
+    pytest.param(lambda: DruckerPrager3D(DP), id="dp"),
+    pytest.param(lambda: DruckerPragerHyperbolic3D(DPH), id="dp-hyp"),
+]
+
+
+@pytest.mark.parametrize("make_law", ALL_LAWS)
+def test_every_model_on_production_path(make_law):
+    """PackedSimulation accepts any IncrSmallStrainModel, like the reference
+    solver accepts any law (_solver.py:54-73): hot models via fused SoA
+    kernels, the rest through the generic evaluate_packed adapter. Pinned
+    against the interactive AoS solve."""
+    mesh = unit_cube_mesh(3, 3, 3, "hex")
+    V = FunctionSpace(mesh, 1, 3)
+
+    def close(axis, v):
+        return lambda x: np.isclose(x[:, axis], v)
+
+    def mkbcs():
+        bc_move = DirichletBC(
+            V.locate_dofs_geometrical(close(0, 1.0), component=0), 0.0
+        )
+        return [
+            DirichletBC(V.locate_dofs_geometrical(close(0, 0.0), component=0), 0.0),
+            bc_move,
+            DirichletBC(V.locate_dofs_geometrical(close(1, 0.0), component=1), 0.0),
+            DirichletBC(V.locate_dofs_geometrical(close(2, 0.0), component=2), 0.0),
+        ], bc_move
+
+    bcs, bc_move = mkbcs()
+    sim = PackedSimulation(
+        make_law(), V, bcs, 2, del_t=0.5,
+        newton_rtol=1e-11, newton_atol=1e-10, cg_rtol=1e-12,
+    )
+    problem = IncrSmallStrainProblem(make_law(), V, bcs, 2, del_t=0.5)
+
+    for k in (1, 2):
+        bc_move.value = 0.004 * k
+        n_s, conv_s = sim.solve()
+        assert conv_s
+        n_p, conv_p = problem.solve()
+        assert conv_p
+        problem.update()
+
+    np.testing.assert_allclose(
+        np.asarray(sim.u), np.asarray(problem.u), rtol=1e-7, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        sim.stress, np.asarray(problem.stress_0), rtol=1e-6, atol=1e-6
+    )
