@@ -65,8 +65,10 @@ class CppElasticity3D(IncrSmallStrainModel):
                 ctypes.c_double, ctypes.c_double, dp, dp, dp, dp,
                 ctypes.c_long, dp,
             ]
-            grad = np.ascontiguousarray(grad, np.float64).reshape(-1)
-            sig = np.ascontiguousarray(sig, np.float64).reshape(-1)
+            # explicit copies: pure_callback operands may be read-only
+            # JAX-owned buffers; the C side writes through raw pointers
+            grad = np.array(grad, np.float64).reshape(-1)
+            sig = np.array(sig, np.float64).reshape(-1)
             tangent = np.zeros(q * 36)
             params = np.ascontiguousarray(params, np.float64)
             c = lambda a: a.ctypes.data_as(dp)
@@ -110,4 +112,8 @@ def main():
 
 
 if __name__ == "__main__":
+    # foreign-language models run host-side (pure_callback); remote-TPU
+    # tunnel backends don't support host callbacks, so pin the cpu platform
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
     main()

@@ -86,12 +86,57 @@ _TET_RULES = {
 }
 
 
-def _simplex_rule(table, degree, name):
+def _compositions(total: int, parts: int):
+    """All tuples of ``parts`` nonnegative ints summing to ``total``."""
+    if parts == 1:
+        yield (total,)
+        return
+    for head in range(total + 1):
+        for rest in _compositions(total - head, parts - 1):
+            yield (head, *rest)
+
+
+def _grundmann_moeller(dim: int, s: int) -> tuple[np.ndarray, np.ndarray]:
+    """Grundmann-Möller simplex rule of index s (degree 2s+1) on the unit
+    simplex in ``dim`` dimensions.
+
+    The arbitrary-degree analog of the basix rules the reference gets from
+    `basix.make_quadrature` (reference solver/_spaces.py:19-47 accepts any
+    q_degree). Classic construction (Grundmann & Möller, SIAM J. Numer. Anal.
+    15, 1978): a fully symmetric embedded family with points at odd
+    barycentric lattice fractions; some weights are negative, which is fine
+    for quadrature of smooth integrands (basix's Xiao-Gimbutas rules differ
+    in points but integrate the same polynomial space exactly, which is all
+    downstream numerics depend on).
+    """
+    from math import factorial
+
+    d = 2 * s + 1
+    pts: list[list[float]] = []
+    wts: list[float] = []
+    for i in range(s + 1):
+        denom = d + dim - 2 * i
+        w = (
+            (-1.0) ** i
+            * 2.0 ** (-2 * s)
+            * float(denom) ** d
+            / (factorial(i) * factorial(d + dim - i))
+        )
+        for k in _compositions(s - i, dim + 1):
+            bary = [(2 * kj + 1) / denom for kj in k]
+            pts.append(bary[1:])  # reference coords x_j = bary_{j+1}
+            wts.append(w)
+    return np.asarray(pts, float), np.asarray(wts, float)
+
+
+def _simplex_rule(table, degree, name, dim):
     for d in sorted(table):
         if d >= degree:
             return Quadrature(*table[d])
-    msg = f"no {name} quadrature rule of degree {degree} tabulated"
-    raise NotImplementedError(msg)
+    # arbitrary degree: smallest Grundmann-Möller index with 2s+1 >= degree
+    s = degree // 2
+    pts, wts = _grundmann_moeller(dim, s)
+    return Quadrature(pts, wts)
 
 
 @lru_cache(maxsize=None)
@@ -110,9 +155,9 @@ def gauss_rule(cell_type: str, degree: int) -> Quadrature:
         wts = np.prod(np.stack([g.ravel() for g in wgrids], axis=1), axis=1)
         return Quadrature(pts, wts)
     if cell_type == "triangle":
-        return _simplex_rule(_TRI_RULES, degree, "triangle")
+        return _simplex_rule(_TRI_RULES, degree, "triangle", 2)
     if cell_type == "tetra":
-        return _simplex_rule(_TET_RULES, degree, "tetra")
+        return _simplex_rule(_TET_RULES, degree, "tetra", 3)
     msg = f"unknown cell type {cell_type}"
     raise ValueError(msg)
 

@@ -87,9 +87,9 @@ def assemble_facet_traction(
     fct = _FACET_CELL_TYPE[mesh.cell_type]
     if fct == "point":
         # 0D facet: point load at the node
-        for (n,) in facets:
-            dofs = _node_dofs(space, mesh.nodes[n])
-            f[dofs] += t
+        nodes = _coords_to_nodes(space, mesh.nodes[facets[:, 0]])
+        f2 = f.reshape(-1, vs)
+        np.add.at(f2, nodes, np.broadcast_to(t, (len(nodes), vs)))
         return f
 
     elem, quad = tabulate_element(fct, space.degree, 2 * space.degree)
@@ -113,25 +113,33 @@ def assemble_facet_traction(
     # integral of each facet shape function: [F, n_facet_dofs]
     intN = np.einsum("q,fq,qa->fa", quad.weights, dA, elem.N)
 
-    # physical positions of the facet element's dof nodes -> global dofs
+    # physical positions of the facet element's dof nodes -> global dof nodes,
+    # resolved in one vectorized sorted-key lookup (a per-dof Python dict walk
+    # here becomes an O(F*n) host stall at production scale — the same class
+    # of loop the reference has in maps.py:156-160)
     dof_pos = np.einsum("nv,fvg->fng", _geometry_basis_at(fct, elem.nodes), verts)
-    lookup = _coord_lookup(space)
-    for fi in range(facets.shape[0]):
-        for a in range(dof_pos.shape[1]):
-            node = lookup[_ckey(dof_pos[fi, a])]
-            f[node * vs : node * vs + vs] += intN[fi, a] * t
+    nodes = _coords_to_nodes(space, dof_pos.reshape(-1, mesh.gdim))
+    w = intN.reshape(-1)
+    f2 = f.reshape(-1, vs)
+    np.add.at(f2, nodes, w[:, None] * t)
     return f
 
 
-def _ckey(coord: np.ndarray) -> tuple:
-    return tuple(np.round(coord / 1e-10).astype(np.int64).tolist())
+def _coords_to_nodes(space: FunctionSpace, coords: np.ndarray) -> np.ndarray:
+    """Vectorized physical-coordinate -> dof-node-index lookup (exact, via
+    quantized integer keys and a sorted search)."""
 
+    def keys(a):
+        k = np.round(np.asarray(a, float) / 1e-10).astype(np.int64)
+        k = np.ascontiguousarray(k)
+        return k.view([("", k.dtype)] * k.shape[1]).ravel()
 
-def _coord_lookup(space: FunctionSpace) -> dict:
-    return {_ckey(c): i for i, c in enumerate(space.dof_coords)}
-
-
-def _node_dofs(space: FunctionSpace, coord: np.ndarray) -> np.ndarray:
-    node = _coord_lookup(space)[_ckey(coord)]
-    vs = space.value_size
-    return np.arange(node * vs, node * vs + vs)
+    space_keys = keys(space.dof_coords)
+    query = keys(coords)
+    order = np.argsort(space_keys)
+    pos = np.searchsorted(space_keys, query, sorter=order)
+    idx = order[np.clip(pos, 0, len(order) - 1)]
+    if not (space_keys[idx] == query).all():
+        msg = "facet dof position not found among space dof coordinates"
+        raise ValueError(msg)
+    return idx

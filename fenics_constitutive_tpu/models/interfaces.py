@@ -76,18 +76,27 @@ class IncrSmallStrainModel(abc.ABC):
 
     @property
     @abc.abstractmethod
-    def history_dim(self) -> dict[str, int] | None:
-        """Name -> per-QP width of each history variable (interfaces.py:134-144)."""
+    def history_dim(self) -> dict[str, int | tuple[int, int]] | None:
+        """Name -> per-QP shape of each history variable: an int for vector-
+        valued entries, a ``(rows, cols)`` tuple for matrix-valued ones —
+        matching the reference contract (interfaces.py:134-144)."""
 
     def init_history(self, n_qp: int, dtype=jnp.float64) -> History:
         """Allocate zero-initialized history arrays for ``n_qp`` quadrature points."""
         hd = self.history_dim
         if hd is None:
             return None
-        # Always [Q, dim] (dim >= 1): one consistent layout for solver storage,
-        # checkpointing, and sharding. The reference's flat per-QP vectors are
-        # this layout raveled.
-        return {name: jnp.zeros((n_qp, dim), dtype=dtype) for name, dim in hd.items()}
+        # Vector entries are [Q, dim] (dim >= 1): one consistent layout for
+        # solver storage, checkpointing, and sharding (the reference's flat
+        # per-QP vectors are this layout raveled). Matrix entries (rows, cols)
+        # are [Q, rows, cols].
+        return {
+            name: jnp.zeros(
+                (n_qp, dim) if isinstance(dim, int) else (n_qp, *dim),
+                dtype=dtype,
+            )
+            for name, dim in hd.items()
+        }
 
     def evaluate_packed(self, t, del_t, eps, stress, history):
         """Generic SoA adapter: run ANY model on the packed/structured engines.
@@ -118,10 +127,21 @@ class IncrSmallStrainModel(abc.ABC):
         eps_aos = eps.reshape(s, n).T
         grad = _mandel.mandel_to_matrix(eps_aos, c)
         stress_aos = stress.reshape(s, n).T
+        hd = self.history_dim or {}
+
+        def unpack(k, v):  # packed [flat, *qp] -> AoS [n, *entry_shape]
+            dim = hd[k]
+            aos = v.reshape(v.shape[0], n).T
+            return aos if isinstance(dim, int) else aos.reshape(n, *dim)
+
+        def pack(v):  # AoS [n, *entry_shape] -> packed [flat, *qp]
+            flat = v.reshape(n, -1)
+            return flat.T.reshape(flat.shape[1], *qp_shape)
+
         hist_aos = (
             None
             if history is None
-            else {k: v.reshape(v.shape[0], n).T for k, v in history.items()}
+            else {k: unpack(k, v) for k, v in history.items()}
         )
         s_new, tg, h_new = self.evaluate(t, del_t, grad, stress_aos, hist_aos)
         s_out = s_new.T.reshape(s, *qp_shape)
@@ -129,7 +149,7 @@ class IncrSmallStrainModel(abc.ABC):
         h_out = (
             None
             if h_new is None
-            else {k: v.T.reshape(v.shape[1], *qp_shape) for k, v in h_new.items()}
+            else {k: pack(v) for k, v in h_new.items()}
         )
         return s_out, tangent, h_out
 

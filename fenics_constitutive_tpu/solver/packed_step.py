@@ -61,10 +61,16 @@ def build_packed_problem(space, laws, q_degree, dtype=None):
     models = tuple(m for m, _ in laws)
     sdim = constraint.stress_strain_dim
     stress = tuple(jnp.zeros(g.qp_shape(sdim), dtype) for g in geos)
+    def _flat(d):  # matrix-valued entries (rows, cols) store flattened packed
+        return d if isinstance(d, int) else int(np.prod(d))
+
     histories = tuple(
         None
         if m.history_dim is None
-        else {k: jnp.zeros(g.qp_shape(d), dtype) for k, d in m.history_dim.items()}
+        else {
+            k: jnp.zeros(g.qp_shape(_flat(d)), dtype)
+            for k, d in m.history_dim.items()
+        }
         for m, g in zip(models, geos)
     )
     state = PackedState(
@@ -86,6 +92,8 @@ def make_packed_step(
     cg_maxiter: int = 1000,
     preconditioner=None,
     matvec_impl: str = "conv",
+    cg_flexible: bool = False,
+    cg_reduce_dtype=None,
 ):
     """Build ``step(models, state, bc_dofs, bc_vals, f_ext, dt) -> (state', stats)``.
 
@@ -95,9 +103,13 @@ def make_packed_step(
     fused Mosaic kernel, TPU-compiled; ~6x faster CG iterations on v5e —
     requires the single-law 3D structured hot path and isotropic factored
     tangents).
+    ``cg_flexible``/``cg_reduce_dtype``: flexible (Polak-Ribiere) CG and
+    higher-precision scalar reductions — the f32 robustness options of
+    solver/linear.cg_solve.
     """
     ndofs = geos[0].ndofs
     constraint = geos[0].constraint
+    cg_opts = dict(flexible=cg_flexible, reduce_dtype=cg_reduce_dtype)
 
     def eval_assemble(models, u, state: PackedState, f_ext, dt):
         du = u - state.u
@@ -151,12 +163,14 @@ def make_packed_step(
                     return jnp.where(free_gm, z, rr)
 
                 delta_gm, k = linear.cg_solve(
-                    matvec, r_gm, rtol=cg_rtol, maxiter=cg_maxiter, precond=precond
+                    matvec, r_gm, rtol=cg_rtol, maxiter=cg_maxiter,
+                    precond=precond, **cg_opts,
                 )
             else:
                 diag = jnp.where(free_gm, geo.jacobi_diag_gm(tg), 1.0)
                 delta_gm, k = linear.cg_solve(
-                    matvec, r_gm, diag, rtol=cg_rtol, maxiter=cg_maxiter
+                    matvec, r_gm, diag, rtol=cg_rtol, maxiter=cg_maxiter,
+                    **cg_opts,
                 )
             return geo.to_node_major(delta_gm), k
 
@@ -172,7 +186,8 @@ def make_packed_step(
             diag = diag + geo.jacobi_diag(tg)
         diag = jnp.where(free, diag, 1.0)
         return linear.cg_solve(
-            matvec, jnp.where(free, r, 0.0), diag, rtol=cg_rtol, maxiter=cg_maxiter
+            matvec, jnp.where(free, r, 0.0), diag, rtol=cg_rtol,
+            maxiter=cg_maxiter, **cg_opts,
         )
 
     def step(models, state: PackedState, bc_dofs, bc_vals, f_ext, dt):

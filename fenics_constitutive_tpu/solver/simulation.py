@@ -63,6 +63,8 @@ class PackedSimulation:
         max_newton: int = 25,
         cg_rtol: float = 1e-6,
         cg_maxiter: int = 1000,
+        cg_flexible: bool | None = None,
+        cg_reduce_dtype=None,
         dtype=None,
     ):
         self.space = space
@@ -103,6 +105,21 @@ class PackedSimulation:
             mg = build_multigrid(geo, mu, kappa, free, fine_matvec=fine_mv)
             pc = {"bpx": mg.bpx, "vcycle": mg}[preconditioner]
 
+        # f32 robustness defaults: round-off breaks exact conjugacy at deeply
+        # plastic states (plain PCG stalls); flexible CG + f64 scalar
+        # reductions restore convergence at negligible cost (TODO.md 'CG
+        # robustness'; the dots are O(n) next to the O(n*stencil) matvec).
+        if cg_flexible is None:
+            cg_flexible = self.state.u.dtype == jnp.float32
+        # f64 scalar reductions need x64 enabled (without it the cast is a
+        # silent f32 no-op); flexible CG alone is dtype-independent.
+        if (
+            cg_reduce_dtype is None
+            and self.state.u.dtype == jnp.float32
+            and jax.config.jax_enable_x64
+        ):
+            cg_reduce_dtype = jnp.float64
+
         step = make_packed_step(
             geos,
             newton_rtol=newton_rtol,
@@ -112,6 +129,8 @@ class PackedSimulation:
             cg_maxiter=cg_maxiter,
             preconditioner=pc,
             matvec_impl=matvec_impl,
+            cg_flexible=cg_flexible,
+            cg_reduce_dtype=cg_reduce_dtype,
         )
         self._max_newton = max_newton
         self._newton_rtol = newton_rtol
