@@ -67,6 +67,13 @@ class IncrSmallStrainProblem:
         bcs: Dirichlet boundary conditions.
         q_degree: quadrature degree.
         del_t: time increment (mutable via ``del_t``/``_del_t``).
+        engine: compute engine for the constitutive/assembly/Krylov cores.
+            "packed" (default via "auto") runs the TPU-native SoA engines —
+            the same kernels as the production PackedSimulation, including
+            the gather-free structured fast path on box meshes — underneath
+            the interactive Newton loop. "aos" keeps the reference-parity
+            array-of-structures layouts (the correctness baseline the packed
+            engines are pinned against in tests/solver/test_packed.py).
     """
 
     def __init__(
@@ -76,6 +83,8 @@ class IncrSmallStrainProblem:
         bcs: list[DirichletBC],
         q_degree: int,
         del_t: float = 1.0,
+        *,
+        engine: str = "auto",
     ):
         mesh = space.mesh
         if isinstance(laws, IncrSmallStrainModel):
@@ -94,6 +103,11 @@ class IncrSmallStrainProblem:
             "law cell sets must partition the mesh"
         )
 
+        if engine == "auto":
+            engine = "packed"
+        assert engine in ("packed", "aos"), engine
+        self.engine = engine
+
         self.space = space
         self.constraint = constraint
         self.q_degree = q_degree
@@ -105,40 +119,68 @@ class IncrSmallStrainProblem:
         )
 
         ftype = jnp.result_type(float)
-        dofmap_full = space.dofmap  # [C, n, vs]
-        self._law_data = tuple(
-            (
-                jnp.asarray(dofmap_full[cells]),
-                precompute_geometry(space, q_degree, cells),
-                jnp.asarray(cells),
-            )
-            for cells in self._law_cells
-        )
-        self._n_qp = int(self._law_data[0][1].n_qp)
         self.ndofs = space.ndofs
         sdim = constraint.stress_strain_dim
+        self._law_data_cache = None
 
-        # --- state ---------------------------------------------------------
+        # --- common state ----------------------------------------------------
         self.u = jnp.zeros(self.ndofs, ftype)
         self.u_prev = jnp.zeros(self.ndofs, ftype)
-        shape = (mesh.num_cells, self._n_qp, sdim)
-        self._stress_prev = jnp.zeros(shape, ftype)  # committed (stress_0)
-        self._stress_curr = jnp.zeros(shape, ftype)  # trial (stress_1)
-        self._histories = tuple(
-            model.init_history(len(cells) * self._n_qp, ftype)
-            for model, cells in zip(self._models, self._law_cells)
-        )
-        self._histories_trial = self._histories
         self._tangents = None
         self.f_ext = jnp.zeros(self.ndofs, ftype)  # external load (Neumann analog)
 
-        # cache for the global quadrature weights (norms, postprocessing)
-        self._w_detJ_global = self._build_global_w()
+        if engine == "packed":
+            from .packed_step import build_packed_problem
 
-        self._eval_assemble = jax.jit(self._eval_assemble_impl)
-        self._linear_solve = jax.jit(
-            self._linear_solve_impl, static_argnames=("cg_maxiter",)
-        )
+            geos, _, pstate = build_packed_problem(
+                space, [(m, c) for m, c in zip(self._models, self._law_cells)],
+                q_degree, ftype,
+            )
+            self._pk_geos = geos
+            self._n_qp = int(geos[0].n_qp)
+            self._stress_prev = pstate.stress  # committed, per-law packed
+            self._stress_curr = pstate.stress  # trial
+            self._histories = pstate.histories  # committed, per-law packed
+            self._histories_trial = pstate.histories
+            self._eval_assemble = jax.jit(self._eval_assemble_packed_impl)
+            self._linear_solve = jax.jit(
+                self._linear_solve_packed_impl, static_argnames=("cg_maxiter",)
+            )
+        else:
+            self._pk_geos = None
+            self._n_qp = int(self._law_data[0][1].n_qp)
+            shape = (mesh.num_cells, self._n_qp, sdim)
+            self._stress_prev = jnp.zeros(shape, ftype)  # committed (stress_0)
+            self._stress_curr = jnp.zeros(shape, ftype)  # trial (stress_1)
+            self._histories = tuple(
+                model.init_history(len(cells) * self._n_qp, ftype)
+                for model, cells in zip(self._models, self._law_cells)
+            )
+            self._histories_trial = self._histories
+            self._eval_assemble = jax.jit(self._eval_assemble_impl)
+            self._linear_solve = jax.jit(
+                self._linear_solve_impl, static_argnames=("cg_maxiter",)
+            )
+
+    # -- AoS tabulated data (observation surface; built lazily so the packed
+    #    engine does not pay for [C, Q, n, g] gradient tables it never reads) --
+    @property
+    def _law_data(self):
+        if self._law_data_cache is None:
+            dofmap_full = self.space.dofmap  # [C, n, vs]
+            self._law_data_cache = tuple(
+                (
+                    jnp.asarray(dofmap_full[cells]),
+                    precompute_geometry(self.space, self.q_degree, cells),
+                    jnp.asarray(cells),
+                )
+                for cells in self._law_cells
+            )
+        return self._law_data_cache
+
+    @_law_data.setter
+    def _law_data(self, value):  # parallel.shard_problem re-places these arrays
+        self._law_data_cache = value
 
     # -- global QP weight field (cells in mesh order) ------------------------
     def _build_global_w(self) -> jnp.ndarray:
@@ -146,6 +188,16 @@ class IncrSmallStrainProblem:
         for (_, geo, cells) in self._law_data:
             w = w.at[cells].set(geo.w_detJ)
         return w
+
+    @property
+    def _w_detJ_global(self) -> jnp.ndarray:
+        if getattr(self, "_w_detJ_global_cache", None) is None:
+            self._w_detJ_global_cache = self._build_global_w()
+        return self._w_detJ_global_cache
+
+    @_w_detJ_global.setter
+    def _w_detJ_global(self, value) -> None:
+        self._w_detJ_global_cache = value
 
     @property
     def dxm(self) -> jnp.ndarray:
@@ -179,6 +231,58 @@ class IncrSmallStrainProblem:
             tangents.append(tg.reshape(n_l, Q, sdim, sdim))
             hists_new.append(h_new)
         return r, stress_new, tuple(tangents), tuple(hists_new)
+
+    # -- packed-engine jitted cores (same kernels as solver/packed_step) -------
+    def _eval_assemble_packed_impl(
+        self, models, geos, u, u_prev, stress_prev, histories, f_ext, t, dt
+    ):
+        du = u - u_prev
+        r = -f_ext
+        stresses, tangents, hists = [], [], []
+        for model, geo, sig0, h0 in zip(models, geos, stress_prev, histories):
+            eps = geo.strain(du)
+            s_new, tg, h_new = model.evaluate_packed(t, dt, eps, sig0, h0)
+            r = r + geo.residual(s_new)
+            stresses.append(s_new)
+            tangents.append(tg)
+            hists.append(h_new)
+        return r, tuple(stresses), tuple(tangents), tuple(hists)
+
+    def _linear_solve_packed_impl(
+        self, geos, tangents, r, free, cg_rtol, cg_maxiter
+    ):
+        # grid-major Krylov loop on the single-law structured fast path: the
+        # node-major transposes happen once per Newton solve instead of twice
+        # per CG iteration (identical to solver/packed_step.linear_solve)
+        if len(geos) == 1 and hasattr(geos[0], "matvec_gm"):
+            geo, tg = geos[0], tangents[0]
+            r_gm = geo.to_grid_major(jnp.where(free, r, 0.0))
+            free_gm = geo.to_grid_major(free)
+
+            def matvec(v):
+                vm = jnp.where(free_gm, v, 0.0)
+                return jnp.where(free_gm, geo.matvec_gm(vm, tg), v)
+
+            diag = jnp.where(free_gm, geo.jacobi_diag_gm(tg), 1.0)
+            delta_gm, k = cg_solve(
+                matvec, r_gm, diag, rtol=cg_rtol, maxiter=cg_maxiter
+            )
+            return geo.to_node_major(delta_gm), k
+
+        def matvec(v):
+            vm = jnp.where(free, v, 0.0)
+            out = jnp.zeros_like(v)
+            for geo, tg in zip(geos, tangents):
+                out = out + geo.matvec(vm, tg)
+            return jnp.where(free, out, v)
+
+        diag = jnp.zeros_like(r)
+        for geo, tg in zip(geos, tangents):
+            diag = diag + geo.jacobi_diag(tg)
+        diag = jnp.where(free, diag, 1.0)
+        return cg_solve(
+            matvec, jnp.where(free, r, 0.0), diag, rtol=cg_rtol, maxiter=cg_maxiter
+        )
 
     def _linear_solve_impl(
         self, law_data, tangents, r, free, cg_rtol, cg_maxiter
@@ -232,6 +336,10 @@ class IncrSmallStrainProblem:
         t = jnp.asarray(self.sim_time.current, self.u.dtype)
         dt = jnp.asarray(self.sim_time.dt, self.u.dtype)
 
+        # both engines share the Newton loop; only the jitted cores and the
+        # geometry argument differ (packed SoA engines vs reference-parity AoS)
+        geom = self._pk_geos if self.engine == "packed" else self._law_data
+
         u = self.u
         converged = False
         niter = 0
@@ -241,7 +349,7 @@ class IncrSmallStrainProblem:
                 u = u.at[bc_dofs_j].set(bc_vals_j)
             r, stress_new, tangents, hists_new = self._eval_assemble(
                 self._models,
-                self._law_data,
+                geom,
                 u,
                 self.u_prev,
                 self._stress_prev,
@@ -259,7 +367,7 @@ class IncrSmallStrainProblem:
             if it == max_iter:
                 break
             delta, _ = self._linear_solve(
-                self._law_data, tangents, r, free, cg_rtol, cg_maxiter=cg_maxiter
+                geom, tangents, r, free, cg_rtol, cg_maxiter=cg_maxiter
             )
             # backtracking line search: full Newton steps can overshoot badly
             # on stiff hardening (the reference has no safeguard — its tests
@@ -269,7 +377,7 @@ class IncrSmallStrainProblem:
             for scale in (1.0, 0.5, 0.25, 0.125):
                 u_try = u - scale * delta
                 r_try, *_ = self._eval_assemble(
-                    self._models, self._law_data, u_try, self.u_prev,
+                    self._models, geom, u_try, self.u_prev,
                     self._stress_prev, self._histories, self.f_ext, t, dt,
                 )
                 r_try_norm = float(jnp.linalg.norm(jnp.where(free, r_try, 0.0)))
@@ -295,15 +403,58 @@ class IncrSmallStrainProblem:
         self._histories = self._histories_trial
         self.sim_time.advance()
 
+    # -- packed-layout -> reference-layout observation converters --------------
+    def _pk_stress_to_cqs(self, stresses: tuple) -> jnp.ndarray:
+        """Per-law packed stress fields -> global [C, Q, s] in mesh cell order."""
+        sdim = self.constraint.stress_strain_dim
+        out = jnp.zeros(
+            (self.space.mesh.num_cells, self._n_qp, sdim), self.u.dtype
+        )
+        for geo, cells, s in zip(self._pk_geos, self._law_cells, stresses):
+            if hasattr(geo, "extract_cells"):  # structured [s, Q, M]
+                blk = jnp.transpose(geo.extract_cells(s), (2, 1, 0))
+            else:  # packed [s, N], q-major N = q * C_l + c
+                blk = jnp.transpose(
+                    s.reshape(sdim, self._n_qp, len(cells)), (2, 1, 0)
+                )
+            out = out.at[jnp.asarray(cells)].set(blk)
+        return out
+
+    def _pk_hist_to_aos(self, model, geo, h):
+        """Packed history {k: [d, *qp]} -> AoS {k: [N_l, ...entry_shape]}
+        in the cell-major QP order the AoS engine stores."""
+        if h is None:
+            return None
+        hd = model.history_dim
+        out = {}
+        for k, v in h.items():
+            if hasattr(geo, "extract_cells"):
+                v = geo.extract_cells(v)  # [d, Q, C]
+                flat = jnp.transpose(v, (2, 1, 0)).reshape(-1, v.shape[0])
+            else:
+                d = v.shape[0]
+                flat = jnp.transpose(
+                    v.reshape(d, self._n_qp, -1), (2, 1, 0)
+                ).reshape(-1, d)
+            dim = hd[k]
+            out[k] = (
+                flat if isinstance(dim, int) else flat.reshape(flat.shape[0], *dim)
+            )
+        return out
+
     # -- observation / back-compat surface (reference _solver.py:161-218) -----
     @property
     def stress_0(self) -> jnp.ndarray:
         """Committed Mandel stress [C, Q, s]."""
+        if self.engine == "packed":
+            return self._pk_stress_to_cqs(self._stress_prev)
         return self._stress_prev
 
     @property
     def stress_1(self) -> jnp.ndarray:
         """Trial Mandel stress [C, Q, s] for the in-progress step."""
+        if self.engine == "packed":
+            return self._pk_stress_to_cqs(self._stress_curr)
         return self._stress_curr
 
     @property
@@ -316,10 +467,22 @@ class IncrSmallStrainProblem:
 
     @property
     def _history_0(self):
+        if self.engine == "packed":
+            return [
+                self._pk_hist_to_aos(m, g, h)
+                for m, g, h in zip(self._models, self._pk_geos, self._histories)
+            ]
         return [h for h in self._histories]
 
     @property
     def _history_1(self):
+        if self.engine == "packed":
+            return [
+                self._pk_hist_to_aos(m, g, h)
+                for m, g, h in zip(
+                    self._models, self._pk_geos, self._histories_trial
+                )
+            ]
         return [h for h in self._histories_trial]
 
     @property
@@ -343,8 +506,23 @@ class IncrSmallStrainProblem:
 
     @property
     def _del_grad_u(self):
-        """Per-law displacement-increment gradients at QPs (observation)."""
+        """Per-law displacement-increment gradients at QPs (observation,
+        [C_l, Q, g, g] per law)."""
         du = self.u - self.u_prev
+        if self.engine == "packed":
+            g = self.constraint.geometric_dim
+            vs = self.space.value_size
+            out = []
+            for geo, cells in zip(self._pk_geos, self._law_cells):
+                grad = geo.grad(du)  # [g, vs, N] (structured: N = Q*M)
+                if hasattr(geo, "extract_cells"):
+                    grad = grad.reshape(g * vs, geo.n_qp, geo.M)[
+                        :, :, geo.cell_index
+                    ].reshape(g, vs, geo.n_qp, len(cells))
+                else:
+                    grad = grad.reshape(g, vs, self._n_qp, len(cells))
+                out.append(jnp.transpose(grad, (3, 2, 0, 1)))
+            return out
         return [
             grad_at_qp(du, dofmap, geo) for (dofmap, geo, _) in self._law_data
         ]

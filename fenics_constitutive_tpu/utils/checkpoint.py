@@ -82,7 +82,13 @@ def load_state_dict(problem, state: dict) -> None:
     """Restore a snapshot produced by state_dict (or load_checkpoint of one)."""
     problem.u = jnp.asarray(state["u"])
     problem.u_prev = jnp.asarray(state["u_prev"])
-    problem._stress_prev = jnp.asarray(state["stress_prev"])
+    sp = state["stress_prev"]
+    if isinstance(sp, dict):  # loaded from npz: tuple came back index-keyed
+        sp = tuple(sp[str(i)] for i in range(len(sp)))
+    if isinstance(sp, (tuple, list)):  # packed engine: per-law stress fields
+        problem._stress_prev = tuple(jnp.asarray(x) for x in sp)
+    else:  # aos engine: one [C, Q, s] array
+        problem._stress_prev = jnp.asarray(sp)
     problem._stress_curr = problem._stress_prev
     hist = state["histories"]
     if isinstance(hist, dict):  # loaded from npz: indices as keys

@@ -133,7 +133,7 @@ def test_native_model_in_jitted_solve():
     n, converged = problem.solve()
     assert converged
     problem.update()
-    assert float(jnp.max(problem._histories[0]["history"][:, 0])) > 0  # plastic
+    assert float(jnp.max(problem._history_0[0]["history"][:, 0])) > 0  # plastic
 
 
 def test_umat_linear_elastic_matches_jax():

@@ -40,7 +40,7 @@ def build_problem():
         DirichletBC(V.locate_dofs_geometrical(close(1, 0.0), component=1), 0.0),
         DirichletBC(V.locate_dofs_geometrical(close(2, 0.0), component=2), 0.0),
     ]
-    return IncrSmallStrainProblem(VonMises3D(MAT), V, bcs, 1), bc_move
+    return IncrSmallStrainProblem(VonMises3D(MAT), V, bcs, 1, engine="aos"), bc_move
 
 
 def run(problem, bc_move, n_steps=10):

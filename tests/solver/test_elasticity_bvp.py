@@ -204,7 +204,9 @@ def test_3d_vs_direct_solve(cell_type, q_degree):
         DirichletBC(V.locate_dofs_geometrical(right), np.array([0.01, 0.0, 0.0])),
     ]
     law = LinearElasticityModel({"E": E, "nu": NU}, Constraint.FULL)
-    problem = IncrSmallStrainProblem(law, V, bcs, q_degree)
+    # engine="aos": this test densifies the AoS matrix-free operator from
+    # problem._tangents, which only the AoS engine materializes as [C,Q,s,s]
+    problem = IncrSmallStrainProblem(law, V, bcs, q_degree, engine="aos")
     n, converged = problem.solve()
     assert converged
     problem.update()

@@ -79,7 +79,7 @@ def test_packed_ops_match_aos(cell_type):
     mesh, V, bcs, _ = setup(cell_type)
     q = 2
     law = LinearElasticityModel({"E": 42.0, "nu": 0.3}, Constraint.FULL)
-    problem = IncrSmallStrainProblem(law, V, bcs, q)
+    problem = IncrSmallStrainProblem(law, V, bcs, q, engine="aos")
     dofmap, geo_aos, cells = problem._law_data[0]
     geo = build_packed_geometry(V, q, Constraint.FULL)
 
@@ -134,7 +134,7 @@ def test_packed_step_matches_problem_solve(cell_type):
     q = 2
     law = VonMises3D(MAT)
 
-    problem = IncrSmallStrainProblem(law, V, bcs, q)
+    problem = IncrSmallStrainProblem(law, V, bcs, q, engine="aos")
     geos, models, state = build_packed_problem(V, law, q)
     step = make_packed_step(geos, newton_rtol=1e-12, cg_rtol=1e-14)
     jitted = jax.jit(step)
