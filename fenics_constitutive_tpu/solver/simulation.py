@@ -44,6 +44,8 @@ class PackedSimulation:
             taken from ``elastic_moduli`` or estimated from the model params.
         matvec_impl: "conv", "pallas", or "auto" (pallas on TPU backends for
             the 3D structured hot path).
+        max_subdivisions: retry a failed load step as up to 2^k substeps with
+            interpolated BCs/dt (0 = off; see solve()).
         newton/cg options are forwarded to make_packed_step.
     """
 
@@ -65,6 +67,7 @@ class PackedSimulation:
         cg_maxiter: int = 1000,
         cg_flexible: bool | None = None,
         cg_reduce_dtype=None,
+        max_subdivisions: int = 0,
         dtype=None,
     ):
         self.space = space
@@ -135,19 +138,14 @@ class PackedSimulation:
         self._max_newton = max_newton
         self._newton_rtol = newton_rtol
         self._newton_atol = newton_atol
+        self._max_subdivisions = max_subdivisions
         self._jitted = jax.jit(step)
         self.last_stats = None
 
-    def solve(self) -> tuple[int, bool]:
-        """One load/time step: solve + commit. Returns (niter, converged)."""
-        bc_dofs, bc_vals = combine_bcs(self.bcs)
+    def _attempt(self, bc_dofs, bc_vals, f_ext, dt) -> tuple[int, bool]:
+        """Run one committed step; returns (niter, converged-and-finite)."""
         self.state, stats = self._jitted(
-            self._models,
-            self.state,
-            jnp.asarray(bc_dofs),
-            jnp.asarray(bc_vals, self.state.u.dtype),
-            jnp.zeros(self.space.ndofs, self.state.u.dtype),
-            jnp.asarray(self.del_t, self.state.u.dtype),
+            self._models, self.state, bc_dofs, bc_vals, f_ext, dt
         )
         self.last_stats = {k: np.asarray(v) for k, v in stats.items()}
         niter = int(stats["newton_iters"])
@@ -155,10 +153,60 @@ class PackedSimulation:
         # NewtonSolver semantics the reference relies on), NOT "stopped before
         # the iteration cap": a step converging exactly on the max_newton-th
         # iteration is converged; a capped step with a large residual is not.
-        converged = float(stats["r_norm"]) <= max(
+        r_norm = float(stats["r_norm"])
+        converged = r_norm <= max(
             self._newton_atol, self._newton_rtol * float(stats["r0_norm"])
         )
-        return niter, converged
+        # NaN-poisoned constitutive state (diverged local return map) or a
+        # non-finite residual also fails the step
+        finite = np.isfinite(r_norm) and bool(np.isfinite(self.state.u).all())
+        return niter, converged and finite
+
+    def solve(self) -> tuple[int, bool]:
+        """One load/time step: solve + commit. Returns (niter, converged).
+
+        With ``max_subdivisions > 0``, a failed step (Newton cap hit or a
+        NaN-poisoned local return map) is retried as 2, 4, ..., 2^k substeps
+        with linearly interpolated BC values and dt — adaptive substepping
+        the reference lacks entirely (its models raise RuntimeError / panic
+        on local divergence, SURVEY §5.3). On total failure the committed
+        state is restored and (niter, False) is returned.
+        """
+        bc_dofs_np, bc_vals_np = combine_bcs(self.bcs)
+        bc_dofs = jnp.asarray(bc_dofs_np)
+        dtype = self.state.u.dtype
+        f_ext = jnp.zeros(self.space.ndofs, dtype)
+        state0 = self.state
+
+        niter, ok = self._attempt(
+            bc_dofs, jnp.asarray(bc_vals_np, dtype), f_ext,
+            jnp.asarray(self.del_t, dtype),
+        )
+        if ok or self._max_subdivisions == 0:
+            if not ok:
+                self.state = state0
+            return niter, ok
+
+        start_vals = np.asarray(state0.u)[bc_dofs_np] if len(bc_dofs_np) else bc_vals_np
+        for level in range(1, self._max_subdivisions + 1):
+            n_sub = 2**level
+            self.state = state0
+            total = 0
+            ok = True
+            for k in range(1, n_sub + 1):
+                frac = k / n_sub
+                vals_k = start_vals + frac * (bc_vals_np - start_vals)
+                niter, ok = self._attempt(
+                    bc_dofs, jnp.asarray(vals_k, dtype), f_ext,
+                    jnp.asarray(self.del_t / n_sub, dtype),
+                )
+                total += niter
+                if not ok:
+                    break
+            if ok:
+                return total, True
+        self.state = state0
+        return niter, False
 
     @property
     def u(self) -> jnp.ndarray:

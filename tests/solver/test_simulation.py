@@ -173,3 +173,71 @@ def test_every_model_on_production_path(make_law):
     np.testing.assert_allclose(
         sim.stress, np.asarray(problem.stress_0), rtol=1e-6, atol=1e-6
     )
+
+
+def _fragile_elasticity(threshold):
+    """Linear elasticity whose local 'return map' fails (NaN-poisons) when a
+    strain increment exceeds ``threshold`` — the behavior of real UMATs with
+    internal iteration caps. Step-size-limited local convergence is exactly
+    the failure mode adaptive substepping exists for (the reference instead
+    hard-errors: RuntimeError / panic, SURVEY §5.3)."""
+    import jax.numpy as jnp
+
+    from fenics_constitutive_tpu.models import LinearElasticityModel
+    from fenics_constitutive_tpu.models.interfaces import register_model
+    from fenics_constitutive_tpu.ops.mandel import Constraint
+
+    @register_model
+    class FragileElasticity(LinearElasticityModel):
+        def evaluate(self, t, del_t, grad_del_u, stress, history):
+            s_new, tg, h = super().evaluate(t, del_t, grad_del_u, stress, history)
+            too_big = jnp.max(jnp.abs(grad_del_u)) > threshold
+            s_new = jnp.where(too_big, jnp.nan, s_new)
+            return s_new, tg, h
+
+        def evaluate_packed(self, t, del_t, eps, stress, history):
+            # the production engines call the fused SoA kernel; poison there
+            s_new, tg, h = super().evaluate_packed(t, del_t, eps, stress, history)
+            too_big = jnp.max(jnp.abs(eps)) > threshold
+            s_new = jnp.where(too_big, jnp.nan, s_new)
+            return s_new, tg, h
+
+    return FragileElasticity({"E": 100000.0, "nu": 0.3}, Constraint.FULL)
+
+
+def test_adaptive_substepping_recovers_failed_step():
+    """A step whose local return map NaN-poisons succeeds when the driver is
+    allowed to subdivide the load increment."""
+    V, bcs, bc_move = setup()
+    law = _fragile_elasticity(0.02)
+    sim = PackedSimulation(law, V, bcs, 2, max_subdivisions=4)
+    # NOTE on the threshold: the first Newton iterate lifts the BC increment
+    # into the boundary cell layer (strain ~ disp/h with h=0.25), so the full
+    # 0.05 step sees ~0.2 local strain; 16 substeps bring it under 0.02.
+    bc_move.value = 0.05
+    niter, converged = sim.solve()
+    assert converged
+    np.testing.assert_allclose(sim.time, sim.del_t, rtol=1e-12)
+    sig_xx = np.asarray(sim.stress)[..., 0]
+    assert np.isfinite(sig_xx).all() and sig_xx.mean() > 0
+
+    # without substepping the same step fails and restores nothing is needed:
+    V, bcs, bc_move = setup()
+    sim_plain = PackedSimulation(_fragile_elasticity(0.02), V, bcs, 2)
+    bc_move.value = 0.05
+    niter, converged = sim_plain.solve()
+    assert not converged
+
+
+def test_substepping_restores_state_on_total_failure():
+    """If even the finest subdivision fails, the committed state is intact."""
+    V, bcs, bc_move = setup()
+    law = _fragile_elasticity(1e-5)  # hopeless at any subdivision level
+    sim = PackedSimulation(law, V, bcs, 2, max_subdivisions=2)
+    bc_move.value = 0.05
+    u_before = np.asarray(sim.state.u).copy()
+    t_before = sim.time
+    niter, converged = sim.solve()
+    assert not converged
+    np.testing.assert_array_equal(np.asarray(sim.state.u), u_before)
+    assert sim.time == t_before
