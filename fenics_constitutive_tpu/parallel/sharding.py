@@ -45,31 +45,78 @@ def _put(x, sharding):
 def shard_problem(problem, mesh: Mesh, axis: str = "cells") -> None:
     """Shard a problem's arrays in place over ``mesh``.
 
-    Cell-axis arrays are split along ``axis``; dof vectors are replicated.
+    Cell/QP-axis arrays are split along ``axis``; dof vectors are replicated.
     All subsequently jitted solver steps run SPMD; results are numerically
     the single-device computation up to reduction-order rounding.
+
+    Works with both engines of IncrSmallStrainProblem: the AoS layouts shard
+    on their leading cell axis; the packed/structured SoA layouts shard on
+    their trailing flat-QP / grid axis (components lead, the huge axis is
+    minor-most — see ops/packed.py).
     """
     cells_sh = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
 
-    problem._law_data = tuple(
-        (
-            _put(dofmap, cells_sh),
-            jax.tree.map(lambda a: _put(a, cells_sh), geo),
-            _put(cells, cells_sh),
+    def last_axis_sh(a):
+        """Shard an array on its LAST axis (packed/structured layouts)."""
+        return _put(a, NamedSharding(mesh, P(*([None] * (a.ndim - 1)), axis)))
+
+    def shard_geo(geo):
+        import dataclasses
+
+        if hasattr(geo, "matvec_gm"):  # structured: [.., M] grid arrays
+            return dataclasses.replace(
+                geo,
+                KEPS_c=_put(geo.KEPS_c, repl),
+                KDIV_c=_put(geo.KDIV_c, repl),
+                mask=last_axis_sh(geo.mask),
+                # cell_index [C] is observation-only (extract/insert_cells)
+                # and C is rarely device-divisible: replicate
+                cell_index=_put(geo.cell_index, repl),
+            )
+        # packed: flat-QP arrays shard; small constants/plans replicate
+        return dataclasses.replace(
+            geo,
+            dN=_put(geo.dN, repl) if geo.uniform else last_axis_sh(geo.dN),
+            w=last_axis_sh(geo.w),
+            dofmap_t=last_axis_sh(geo.dofmap_t),
+            gather_idx=_put(geo.gather_idx, repl),
         )
-        for (dofmap, geo, cells) in problem._law_data
-    )
-    problem._stress_prev = _put(problem._stress_prev, cells_sh)
-    problem._stress_curr = _put(problem._stress_curr, cells_sh)
-    problem._histories = tuple(
-        None
-        if h is None
-        else {k: _put(v, cells_sh) for k, v in h.items()}
-        for h in problem._histories
-    )
-    problem._histories_trial = problem._histories
-    problem._w_detJ_global = _put(problem._w_detJ_global, cells_sh)
+
+    if getattr(problem, "engine", "aos") == "packed":
+        problem._pk_geos = tuple(shard_geo(geo) for geo in problem._pk_geos)
+        problem._stress_prev = tuple(
+            last_axis_sh(s) for s in problem._stress_prev
+        )
+        problem._stress_curr = tuple(
+            last_axis_sh(s) for s in problem._stress_curr
+        )
+        problem._histories = tuple(
+            None
+            if h is None
+            else {k: last_axis_sh(v) for k, v in h.items()}
+            for h in problem._histories
+        )
+        problem._histories_trial = problem._histories
+    else:
+        problem._law_data = tuple(
+            (
+                _put(dofmap, cells_sh),
+                jax.tree.map(lambda a: _put(a, cells_sh), geo),
+                _put(cells, cells_sh),
+            )
+            for (dofmap, geo, cells) in problem._law_data
+        )
+        problem._stress_prev = _put(problem._stress_prev, cells_sh)
+        problem._stress_curr = _put(problem._stress_curr, cells_sh)
+        problem._histories = tuple(
+            None
+            if h is None
+            else {k: _put(v, cells_sh) for k, v in h.items()}
+            for h in problem._histories
+        )
+        problem._histories_trial = problem._histories
+        problem._w_detJ_global = _put(problem._w_detJ_global, cells_sh)
     problem.u = _put(problem.u, repl)
     problem.u_prev = _put(problem.u_prev, repl)
     problem.f_ext = _put(problem.f_ext, repl)

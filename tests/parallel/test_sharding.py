@@ -81,3 +81,61 @@ def test_sharded_state_stays_sharded():
     problem.update()
     sharding = problem._stress_prev.sharding
     assert not sharding.is_fully_replicated
+
+
+def test_packed_engine_problem_sharded_matches_unsharded():
+    """shard_problem on the DEFAULT (packed) engine: an interactive solve
+    with all SoA arrays sharded over 8 devices matches the unsharded run."""
+    import jax
+
+    mesh = unit_cube_mesh(7, 7, 7, "hex")  # 8x8x8 = 512 grid nodes: 8-divisible
+    V = FunctionSpace(mesh, 1, 3)
+
+    def close(axis, v):
+        return lambda x: np.isclose(x[:, axis], v)
+
+    def build():
+        bc_move = DirichletBC(
+            V.locate_dofs_geometrical(close(0, 1.0), component=0), 0.0
+        )
+        bcs = [
+            DirichletBC(V.locate_dofs_geometrical(close(0, 0.0), component=0), 0.0),
+            bc_move,
+            DirichletBC(V.locate_dofs_geometrical(close(1, 0.0), component=1), 0.0),
+            DirichletBC(V.locate_dofs_geometrical(close(2, 0.0), component=2), 0.0),
+        ]
+        return IncrSmallStrainProblem(VonMises3D(MAT), V, bcs, 1), bc_move
+
+    def run(problem, bc_move, n_steps=3):
+        for k in range(1, n_steps + 1):
+            bc_move.value = 0.02 * k / n_steps
+            niter, converged = problem.solve()
+            assert converged
+            problem.update()
+        return (
+            np.asarray(problem.u),
+            np.asarray(problem.stress_0),
+            np.asarray(problem._history_0[0]["alpha"]),
+        )
+
+    p_ref, mv_ref = build()
+    u_ref, s_ref, a_ref = run(p_ref, mv_ref)
+
+    p_sh, mv_sh = build()
+    assert p_sh.engine == "packed"
+    dmesh = make_device_mesh(8)
+    shard_problem(p_sh, dmesh)
+    assert not p_sh._stress_prev[0].sharding.is_fully_replicated
+    u_sh, s_sh, a_sh = run(p_sh, mv_sh)
+
+    # the PHYSICAL state is reduction-order-exact: stresses to ~4e-15
+    # relative, hardening variable to machine precision
+    np.testing.assert_allclose(s_sh, s_ref, rtol=1e-10, atol=1e-9)
+    np.testing.assert_allclose(a_sh, a_ref, rtol=0, atol=1e-14)
+    # u is only conditioning-limited at the plastic transition: both runs
+    # satisfy the same residual to ~4e-13 but the consistent tangent has a
+    # near-null (stress-free) plastic mode, so different reduction orders
+    # land on different points of the solution set (classic plasticity
+    # uniqueness: stresses unique, displacements not)
+    rel = np.linalg.norm(u_sh - u_ref) / np.linalg.norm(u_ref)
+    assert rel < 5e-3, rel
