@@ -64,7 +64,11 @@ def main() -> None:
     assert n_qp == 1_000_000, n_qp
 
     # one Newton iteration per dispatch (max_newton=1), linear solve CONVERGED
-    # to rtol 1e-5 with the additive-multilevel (BPX) preconditioner
+    # to rtol 1e-5 with the multiplicative V-cycle. History: BPX won round 1
+    # when the conv engine's fine apply cost 1.2 ms; the flat index-space
+    # engine dropped it to ~0.02 ms, so the V-cycle's better convergence
+    # (23 vs 76 CG iterations at the bench state) now wins on wall-clock
+    # (measured: 36 vs 56 device-ms per converged step).
     from fenics_constitutive_tpu.solver.multigrid import build_multigrid
 
     bc_dofs, bc_vals = combine_bcs(bcs)
@@ -72,7 +76,7 @@ def main() -> None:
     mg = build_multigrid(geos[0], 80769.0, 175000.0, free0)
     step = make_packed_step(
         geos, max_newton=1, newton_rtol=0.0, newton_atol=0.0,
-        cg_rtol=1e-5, cg_maxiter=400, preconditioner=mg.bpx,
+        cg_rtol=1e-5, cg_maxiter=400, preconditioner=mg,
     )
     bc_dofs_j = jnp.asarray(bc_dofs)
     bc_vals_j = jnp.asarray(bc_vals, state.u.dtype)
