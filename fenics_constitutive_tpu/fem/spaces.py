@@ -100,6 +100,25 @@ class FunctionSpace:
         node_ids = rank[inverse].reshape(local_coords.shape[:2])
         coords = np.zeros((len(first_idx), self.mesh.gdim))
         coords[node_ids.reshape(-1)] = flat
+
+        # box-structured tensor meshes: renumber dof nodes lattice-row-major
+        # (x slowest, last axis fastest — the mesh.py node convention). The
+        # degree-2 dof nodes then form exactly the node lattice of the
+        # degree-times-refined grid, so the lattice stencil engine can
+        # reshape the dof vector straight into the grid (no gathers) and the
+        # P1-lattice multigrid applies with an identity permutation.
+        if self.mesh.structured_shape is not None and self.mesh.cell_type in (
+            "quad",
+            "hex",
+        ):
+            k = np.round(coords / 1e-10).astype(np.int64)
+            # np.lexsort: LAST key is primary -> x primary, last axis fastest
+            lex = np.lexsort(tuple(k[:, d] for d in reversed(range(k.shape[1]))))
+            rank2 = np.empty(len(lex), dtype=node_ids.dtype)
+            rank2[lex] = np.arange(len(lex))
+            coords = coords[lex]
+            node_ids = rank2[node_ids]
+
         object.__setattr__(self, "dof_coords", coords)
         object.__setattr__(self, "cell_dof_nodes", node_ids.astype(np.int32))
 

@@ -53,7 +53,7 @@ __all__ = [
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["dN", "w", "dofmap_t", "gather_idx"],
+    data_fields=["dN", "w", "dofmap_t", "gather_idx", "KEPS_c", "KDIV_c"],
     meta_fields=["uniform", "n_cells", "n_qp", "n_nodes", "vs", "ndofs", "constraint"],
 )
 @dataclass(frozen=True)
@@ -65,12 +65,22 @@ class PackedGeometry:
     dofmap_t: [n, vs, C] global dof ids
     gather_idx: [ndofs, maxval] indices into the flat element-force array
         (n*vs*C + 1 slots; the last slot is a zero pad target)
+    KEPS_c/KDIV_c: uniform-geometry folded operators (None otherwise) —
+        [s*Q, n*vs] corner-dofs -> Mandel-strain channels, and its weighted
+        transpose. These turn strain/residual into single MXU matmuls over
+        [n*vs, C] element-dof blocks, exactly like the structured engine's
+        flat formulation but with a per-cell dof gather instead of stencil
+        slices; essential for higher-order elements where the general
+        einsum path materializes [n, vs, Q, C] intermediates (measured 77 ms
+        per CG iteration for P2 at 885k QPs vs ~2 ms with the folded form).
     """
 
     dN: jnp.ndarray
     w: jnp.ndarray
     dofmap_t: jnp.ndarray
     gather_idx: jnp.ndarray
+    KEPS_c: jnp.ndarray | None
+    KDIV_c: jnp.ndarray | None
     uniform: bool
     n_cells: int
     n_qp: int
@@ -92,16 +102,61 @@ class PackedGeometry:
     def grad(self, u: jnp.ndarray) -> jnp.ndarray:
         return packed_grad(u, self)
 
+    def _gather_flat(self, u: jnp.ndarray) -> jnp.ndarray:
+        """u [ndofs] -> element dof blocks [n*vs, C]."""
+        return u[self.dofmap_t].reshape(self.n_nodes * self.vs, self.n_cells)
+
     def strain(self, u: jnp.ndarray) -> jnp.ndarray:
+        if self.KEPS_c is not None:
+            e = jnp.matmul(
+                self.KEPS_c.astype(u.dtype),
+                self._gather_flat(u),
+                preferred_element_type=u.dtype,
+            )
+            return e.reshape(self.constraint.stress_strain_dim, self.N)
         return packed_strain(packed_grad(u, self), self.constraint)
 
     def residual(self, sigma: jnp.ndarray) -> jnp.ndarray:
+        if self.KDIV_c is not None:
+            sig = sigma.reshape(-1, self.n_cells)  # [s*Q, C] (q-major)
+            F = jnp.matmul(
+                self.KDIV_c.astype(sigma.dtype), sig,
+                preferred_element_type=sigma.dtype,
+            )
+            return _assemble(
+                F.reshape(self.n_nodes, self.vs, self.n_cells), self
+            )
         return packed_residual(sigma, self)
 
     def matvec(self, v: jnp.ndarray, tangent) -> jnp.ndarray:
+        if self.KEPS_c is not None:
+            return self.residual(tangent.apply(self.strain(v)))
         return packed_matvec(v, tangent, self)
 
     def jacobi_diag(self, tangent) -> jnp.ndarray:
+        if self.KEPS_c is not None:
+            # per-node B_a is a [s, vs, Q] constant; broadcast against
+            # [Q, C]-reshaped tangent fields (no [.., N]-wide temporaries)
+            Q, C = self.n_qp, self.n_cells
+            KE = self.KEPS_c.reshape(
+                self.constraint.stress_strain_dim, Q, self.n_nodes, self.vs
+            )
+            tg_qc = jax.tree.map(
+                lambda x: (
+                    x.reshape(*x.shape[:-1], Q, C)
+                    if x.ndim and x.shape[-1] == self.N
+                    else x  # scalar / broadcast leaves (constant moduli)
+                ),
+                tangent,
+            )
+            w_qc = self.w.reshape(Q, C)
+            cols = []
+            for a in range(self.n_nodes):
+                B_a = jnp.transpose(KE[:, :, a, :], (0, 2, 1))[..., None]
+                q = tg_qc.quad_diag(B_a)  # [vs, Q, C]
+                cols.append((q * w_qc).sum(axis=1))  # [vs, C]
+            d_e = jnp.stack(cols, axis=0)  # [n, vs, C]
+            return _assemble(d_e, self)
         return packed_jacobi_diag(tangent, self)
 
 
@@ -142,6 +197,20 @@ def build_packed_geometry(
 
     n = elem.N.shape[1]
     vs = space.value_size
+
+    # uniform geometry: fold Mandel map / gradients / weights into constant
+    # matrices (same construction as ops/structured.py KEPS_c/KDIV_c)
+    KEPS_c = KDIV_c = None
+    if uniform:
+        sdim = constraint.stress_strain_dim
+        M_map = mandel._mandel_matrix_map(constraint)  # [s, g, g]
+        dN0 = dN_dx[0].transpose(1, 2, 0)  # [n, g, Q]
+        KE = np.einsum("sij,aiq->sqaj", M_map, dN0)  # [s, Q, n, vs]
+        KEPS_np = KE.reshape(sdim * Q, n * vs)
+        KD = KE * w[0][None, :, None, None]
+        KDIV_np = KD.reshape(sdim * Q, n * vs).T.copy()
+        KEPS_c = jnp.asarray(KEPS_np, dtype)
+        KDIV_c = jnp.asarray(KDIV_np, dtype)
     dofmap = space.dofmap[cell_ids]  # [C, n, vs]
     dofmap_t = jnp.asarray(dofmap.transpose(1, 2, 0))  # [n, vs, C]
 
@@ -165,6 +234,8 @@ def build_packed_geometry(
         w=w_packed,
         dofmap_t=dofmap_t,
         gather_idx=jnp.asarray(gather_idx),
+        KEPS_c=KEPS_c,
+        KDIV_c=KDIV_c,
         uniform=uniform,
         n_cells=C,
         n_qp=Q,

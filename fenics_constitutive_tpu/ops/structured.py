@@ -47,7 +47,12 @@ from . import mandel
 from .mandel import Constraint
 from .packed import IsotropicTangent  # noqa: F401  (re-export convenience)
 
-__all__ = ["StructuredGeometry", "build_structured_geometry"]
+__all__ = [
+    "StructuredGeometry",
+    "build_structured_geometry",
+    "LatticeGeometry",
+    "build_lattice_geometry",
+]
 
 
 @partial(
@@ -315,4 +320,267 @@ def build_structured_geometry(
         offsets=flat_offsets,
         dN_host=_tup(dN),
         w_host=_tup(w),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degree-d lattice stencil engine (P2+ on box meshes)
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["KEPS_c", "KDIV_c", "w"],
+    meta_fields=[
+        "grid", "degree", "lattice", "vs", "ndofs", "constraint",
+        "n_nodes", "n_qp", "n_cells", "dN_host",
+    ],
+)
+@dataclass(frozen=True)
+class LatticeGeometry:
+    """Degree-d tensor-product stencil engine on a box mesh whose dof nodes
+    are lattice-ordered (fem/spaces.py renumbers degree-2 dofs row-major).
+
+    Element gather/scatter are STATIC STRIDED SLICES of the [vs, *lattice]
+    grid — no gather instructions at all. Measured motivation: a 2.65M-entry
+    dof gather for P2 costs ~19 ms on v5e (the general packed path's 77 ms
+    CG iteration); the folded-matmul work itself is ~0.05 ms. Cell QP fields
+    are DENSE [k, Q, C] in mesh cell order (no cell-at-origin padding: at
+    degree 2 the origin footprint would waste 8x).
+
+    KEPS_c: [s*Q, n*vs] lattice-node dofs -> Mandel strain channels
+    KDIV_c: [n*vs, s*Q] weighted transpose (quadrature folded)
+    w: [Q] quadrature weight x |detJ| (for the Jacobi diagonal)
+    """
+
+    KEPS_c: jnp.ndarray
+    KDIV_c: jnp.ndarray
+    w: jnp.ndarray
+    grid: tuple
+    degree: int
+    lattice: tuple
+    vs: int
+    ndofs: int
+    constraint: Constraint
+    n_nodes: int
+    n_qp: int
+    n_cells: int
+    dN_host: tuple  # [n][g][Q] nested tuples (physical-gradient tables)
+
+    @property
+    def gdim(self) -> int:
+        return len(self.grid)
+
+    @property
+    def sdim(self) -> int:
+        return self.constraint.stress_strain_dim
+
+    @property
+    def M(self) -> int:
+        return int(np.prod(self.lattice))
+
+    @property
+    def N(self) -> int:
+        return self.n_qp * self.n_cells
+
+    @property
+    def uniform(self) -> bool:
+        return True
+
+    def qp_shape(self, k: int) -> tuple:
+        return (k, self.n_qp, self.n_cells)
+
+    # dense mesh-order cell fields: observation maps are the identity
+    def extract_cells(self, field: jnp.ndarray) -> jnp.ndarray:
+        return field
+
+    def insert_cells(self, dense: jnp.ndarray, dtype=None) -> jnp.ndarray:
+        return dense.astype(dtype) if dtype is not None else dense
+
+    # -- layout plumbing -------------------------------------------------------
+    def to_grid_major(self, u: jnp.ndarray) -> jnp.ndarray:
+        return u.reshape(self.M, self.vs).T.reshape(-1)
+
+    def to_node_major(self, u_gm: jnp.ndarray) -> jnp.ndarray:
+        return u_gm.reshape(self.vs, self.M).T.reshape(-1)
+
+    def _local_offset(self, a: int) -> tuple:
+        """Local node a -> lattice offsets (x fastest digit, elements.py
+        _tensor_basis ordering)."""
+        nb = self.degree + 1
+        rem, locs = a, []
+        for _ in range(self.gdim):
+            locs.append(rem % nb)
+            rem //= nb
+        return tuple(locs)
+
+    def _cell_slices(self, a: int) -> tuple:
+        off = self._local_offset(a)
+        d = self.degree
+        return tuple(
+            slice(off[k], off[k] + d * (self.grid[k] - 1) + 1, d)
+            for k in range(self.gdim)
+        )
+
+    def _elem_dofs_cm(self, u_cm: jnp.ndarray) -> jnp.ndarray:
+        """[vs, M] component-major -> [n*vs, C] element dof blocks."""
+        g = u_cm.reshape((self.vs,) + self.lattice)
+        parts = []
+        for a in range(self.n_nodes):
+            sl = (slice(None),) + self._cell_slices(a)
+            parts.append(g[sl].reshape(self.vs, self.n_cells))
+        return jnp.concatenate(parts, axis=0)
+
+    # -- grid-major hot-path ops ----------------------------------------------
+    # strain is a stride-d convolution with a (d+1)^gdim kernel; residual is
+    # its EXACT adjoint (transposed conv). TPU convs handle strided windows
+    # natively; the equivalent formulation with 27 stride-2 slices /
+    # scatter-adds costs 8 / 36 ms per 885k-QP apply on v5e (minor-axis
+    # layout copies) vs ~1 ms for the convs.
+
+    def _dimnums(self):
+        sp = "DHW"[3 - self.gdim:]
+        return (f"NC{sp}", f"OI{sp}", f"NC{sp}")
+
+    def _keps_kernel(self, dtype) -> jnp.ndarray:
+        """KEPS_c [sQ, n*vs] -> conv kernel [sQ, vs, *(d+1)^gdim].
+
+        Local node a has lattice offsets (x fastest): a = ox + nb*oy + nb^2*oz;
+        kernel spatial dims are (X, Y, Z) in that order.
+        """
+        nb = self.degree + 1
+        K = self.KEPS_c.reshape(
+            (self.sdim * self.n_qp,) + (nb,) * self.gdim + (self.vs,)
+        )
+        # a = ox + nb*oy + nb^2*oz (x FASTEST), so the reshape's spatial dims
+        # come out (oz, oy, ox): reverse them to kernel order (X, Y, Z)
+        perm = (0, self.gdim + 1) + tuple(range(self.gdim, 0, -1))
+        return jnp.transpose(K, perm).astype(dtype)
+
+    def strain_gm(self, u_gm: jnp.ndarray) -> jnp.ndarray:
+        g = u_gm.reshape((1, self.vs) + self.lattice)
+        out = jax.lax.conv_general_dilated(
+            g,
+            self._keps_kernel(g.dtype),
+            window_strides=(self.degree,) * self.gdim,
+            padding="VALID",
+            dimension_numbers=self._dimnums(),
+            preferred_element_type=g.dtype,
+        )
+        return out.reshape(self.sdim, self.n_qp, self.n_cells)
+
+    def residual_gm(self, sigma: jnp.ndarray) -> jnp.ndarray:
+        # fold quadrature weights, then apply the exact adjoint of strain_gm
+        sig_w = sigma * self.w.astype(sigma.dtype)[None, :, None]
+        g = sig_w.reshape((1, self.sdim * self.n_qp) + tuple(self.grid))
+        out = jax.lax.conv_transpose(
+            g,
+            self._keps_kernel(g.dtype),
+            strides=(self.degree,) * self.gdim,
+            padding="VALID",
+            dimension_numbers=self._dimnums(),
+            transpose_kernel=True,
+            preferred_element_type=g.dtype,
+        )
+        return out.reshape(-1)
+
+    def matvec_gm(self, v_gm: jnp.ndarray, tangent) -> jnp.ndarray:
+        return self.residual_gm(tangent.apply(self.strain_gm(v_gm)))
+
+    def jacobi_diag_gm(self, tangent) -> jnp.ndarray:
+        KE = self.KEPS_c.reshape(self.sdim, self.n_qp, self.n_nodes, self.vs)
+        out = jnp.zeros((self.vs,) + self.lattice, self.KEPS_c.dtype)
+        w = self.w
+        for a in range(self.n_nodes):
+            B_a = jnp.transpose(KE[:, :, a, :], (0, 2, 1))[..., None]
+            q = tangent.quad_diag(B_a)  # [vs, Q, C] (broadcast)
+            q = jnp.broadcast_to(q, (self.vs, self.n_qp, self.n_cells))
+            contrib = (q * w[None, :, None]).sum(axis=1)  # [vs, C]
+            sl = (slice(None),) + self._cell_slices(a)
+            out = out.at[sl].add(
+                contrib.reshape((self.vs,) + tuple(self.grid))
+            )
+        return out.reshape(-1)
+
+    # -- engine interface (node-major public semantics) -------------------------
+    def strain(self, u: jnp.ndarray) -> jnp.ndarray:
+        return self.strain_gm(self.to_grid_major(u))
+
+    def residual(self, sigma: jnp.ndarray) -> jnp.ndarray:
+        return self.to_node_major(self.residual_gm(sigma))
+
+    def matvec(self, v: jnp.ndarray, tangent) -> jnp.ndarray:
+        return self.to_node_major(self.matvec_gm(self.to_grid_major(v), tangent))
+
+    def jacobi_diag(self, tangent) -> jnp.ndarray:
+        return self.to_node_major(self.jacobi_diag_gm(tangent))
+
+    def grad(self, u: jnp.ndarray) -> jnp.ndarray:
+        """Full displacement gradient [g, vs, Q*C] (observation path)."""
+        U = self._elem_dofs_cm(
+            self.to_grid_major(u).reshape(self.vs, self.M)
+        ).reshape(self.n_nodes, self.vs, self.n_cells)
+        dN = jnp.asarray(np.asarray(self.dN_host), U.dtype)  # [n, g, Q]
+        out = jnp.einsum("aiq,ajc->ijqc", dN, U)
+        return out.reshape(self.gdim, self.vs, self.N)
+
+
+def build_lattice_geometry(
+    space, q_degree: int, constraint: Constraint, dtype=None
+) -> LatticeGeometry:
+    """Lattice stencil engine for a degree-2 space on a box mesh (quad/hex)
+    with lattice-ordered dofs (fem/spaces.py)."""
+    from ..fem.elements import tabulate_element
+    from ..fem.kinematics import _geometry_grad_at
+
+    dtype = dtype or jnp.result_type(float)
+    mesh = space.mesh
+    grid = mesh.structured_shape
+    assert grid is not None and mesh.cell_type in ("quad", "hex")
+    d = space.degree
+    assert d >= 2, "use build_structured_geometry for degree 1"
+
+    elem, quad = tabulate_element(mesh.cell_type, d, q_degree)
+    verts = mesh.nodes[mesh.cells[0]]
+    geom_dN = _geometry_grad_at(mesh.cell_type, quad.points)
+    J = np.einsum("vi,qvj->qij", verts, geom_dN)
+    detJ = np.abs(np.linalg.det(J))
+    Jinv = np.linalg.inv(J)
+    dN = np.einsum("qaj,qji->aiq", elem.dN_dxi, Jinv)  # [n, g, Q]
+    w = quad.weights * detJ  # [Q]
+
+    gdim = len(grid)
+    sdim = constraint.stress_strain_dim
+    n = elem.N.shape[1]
+    Q = quad.points.shape[0]
+    vs = space.value_size
+    M_map = mandel._mandel_matrix_map(constraint)
+
+    KE = np.einsum("sij,aiq->sqaj", M_map, dN)  # [s, Q, n, vs]
+    KEPS_c = KE.reshape(sdim * Q, n * vs)
+    KD = KE * w[None, :, None, None]
+    KDIV_c = KD.reshape(sdim * Q, n * vs).T.copy()
+
+    lattice = tuple(d * g + 1 for g in grid)
+    assert space.n_dof_nodes == int(np.prod(lattice))
+    # sanity: dof node 0 must be the lattice origin (lattice ordering applied)
+    assert np.allclose(space.dof_coords[0], mesh.nodes.min(axis=0))
+
+    def _tup(x):
+        return tuple(map(_tup, x)) if isinstance(x, np.ndarray) and x.ndim else float(x)
+
+    return LatticeGeometry(
+        KEPS_c=jnp.asarray(KEPS_c, dtype),
+        KDIV_c=jnp.asarray(KDIV_c, dtype),
+        w=jnp.asarray(w, dtype),
+        grid=tuple(grid),
+        degree=d,
+        lattice=lattice,
+        vs=vs,
+        ndofs=space.ndofs,
+        constraint=constraint,
+        n_nodes=n,
+        n_qp=Q,
+        n_cells=int(np.prod(grid)),
+        dN_host=_tup(dN),
     )

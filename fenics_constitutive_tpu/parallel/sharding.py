@@ -64,16 +64,20 @@ def shard_problem(problem, mesh: Mesh, axis: str = "cells") -> None:
     def shard_geo(geo):
         import dataclasses
 
-        if hasattr(geo, "matvec_gm"):  # structured: [.., M] grid arrays
-            return dataclasses.replace(
-                geo,
-                KEPS_c=_put(geo.KEPS_c, repl),
-                KDIV_c=_put(geo.KDIV_c, repl),
-                mask=last_axis_sh(geo.mask),
+        if hasattr(geo, "matvec_gm"):  # structured/lattice stencil engines
+            updates = {
+                "KEPS_c": _put(geo.KEPS_c, repl),
+                "KDIV_c": _put(geo.KDIV_c, repl),
+            }
+            if hasattr(geo, "mask"):
+                updates["mask"] = last_axis_sh(geo.mask)
+            if hasattr(geo, "cell_index"):
                 # cell_index [C] is observation-only (extract/insert_cells)
                 # and C is rarely device-divisible: replicate
-                cell_index=_put(geo.cell_index, repl),
-            )
+                updates["cell_index"] = _put(geo.cell_index, repl)
+            if hasattr(geo, "w") and geo.w is not None:
+                updates["w"] = _put(geo.w, repl)
+            return dataclasses.replace(geo, **updates)
         # packed: flat-QP arrays shard; small constants/plans replicate
         return dataclasses.replace(
             geo,

@@ -33,7 +33,11 @@ import numpy as np
 from ..ops.packed import IsotropicTangent
 from ..ops.structured import StructuredGeometry
 
-__all__ = ["build_multigrid", "MultigridPreconditioner"]
+__all__ = [
+    "build_multigrid",
+    "build_p2_node_preconditioner",
+    "MultigridPreconditioner",
+]
 
 
 def _transfer_kernels(vs: int, gdim: int, dtype):
@@ -256,6 +260,92 @@ class MultigridPreconditioner:
         the solver converts once per Newton solve (ops/structured.py
         to_grid_major/to_node_major)."""
         return self.vcycle(0, r_gm)
+
+
+def build_p2_node_preconditioner(
+    space,
+    mu: float,
+    kappa: float,
+    free_mask,
+    *,
+    dtype=None,
+    use_bpx: bool = False,
+    **mg_kwargs,
+):
+    """Multilevel preconditioner for a DEGREE-2 space on a box mesh.
+
+    The structured multigrid hierarchy is degree-1, but on a tensor grid the
+    P2 dof nodes form exactly the node lattice of the 2x-refined P1 grid, and
+    the P1 operator on that lattice is spectrally equivalent to the P2
+    operator (classic p-version trick: precondition high order with the
+    low-order operator on the same nodes). This closes the 'P2 beyond the
+    gather cliff' gap: without it, f32 Jacobi-CG on the ill-conditioned P2
+    operator loses conjugacy and returns unusable directions at scale.
+
+    Returns a callable M^-1 on NODE-MAJOR dof vectors (the layout the packed
+    engine's generic Krylov path uses), suitable for
+    ``make_packed_step(preconditioner=..., matvec_impl="conv")`` with a
+    degree-2 packed geometry.
+    """
+    from ..fem.mesh import unit_cube_mesh, unit_square_mesh
+    from ..fem.spaces import FunctionSpace
+    from ..ops.structured import build_structured_geometry
+
+    mesh = space.mesh
+    grid = mesh.structured_shape
+    assert space.degree == 2 and grid is not None, (
+        "p2 node preconditioner needs a degree-2 space on a box-structured mesh"
+    )
+    vs = space.value_size
+    refined_cells = tuple(2 * g for g in grid)
+    m1 = (
+        unit_cube_mesh(*refined_cells, "hex")
+        if len(grid) == 3
+        else unit_square_mesh(*refined_cells, "quad")
+    )
+    V1 = FunctionSpace(m1, 1, vs)
+    assert V1.n_dof_nodes == space.n_dof_nodes
+
+    # permutation lattice-node-index -> P2-dof-node-index (exact, via
+    # quantized coordinates; both lattices live on the same box)
+    def keys(a):
+        k = np.round(np.asarray(a, float) * 1e10).astype(np.int64)
+        k = np.ascontiguousarray(k)
+        return k.view([("", k.dtype)] * k.shape[1]).ravel()
+
+    k2, k1 = keys(space.dof_coords), keys(m1.nodes)
+    order = np.argsort(k2)
+    pos = np.searchsorted(k2, k1, sorter=order)
+    assert (k2[order[pos]] == k1).all(), "P2 dof lattice != refined P1 lattice"
+    perm = order[pos]  # [n_nodes]: P2 dof node for each lattice node
+    inv_perm = np.empty_like(perm)
+    inv_perm[perm] = np.arange(len(perm))
+    perm_j = jnp.asarray(perm)
+    inv_perm_j = jnp.asarray(inv_perm)
+
+    geo1 = build_structured_geometry(V1, 2, space_constraint(space), dtype)
+    free_lat = jnp.asarray(free_mask, bool).reshape(-1, vs)[perm_j].reshape(-1)
+    mg = build_multigrid(
+        geo1, mu, kappa, free_lat, dtype=dtype, **mg_kwargs
+    )
+    inner = mg.bpx if use_bpx else mg
+
+    def precond(r):
+        """node-major P2 dof vector -> node-major preconditioned vector."""
+        r_lat = r.reshape(-1, vs)[perm_j].reshape(-1)
+        z_gm = inner(geo1.to_grid_major(r_lat))
+        z_lat = geo1.to_node_major(z_gm)
+        return z_lat.reshape(-1, vs)[inv_perm_j].reshape(-1)
+
+    return precond
+
+
+def space_constraint(space):
+    """Default FULL/PLANE_STRAIN constraint matching a space's value size
+    (the preconditioner only needs the elastic operator's block structure)."""
+    from ..ops.mandel import Constraint
+
+    return Constraint.FULL if space.value_size == 3 else Constraint.PLANE_STRAIN
 
 
 def build_multigrid(

@@ -52,9 +52,20 @@ def build_packed_problem(space, laws, q_degree, dtype=None):
 
     def make_geo(cells):
         whole_mesh = len(cells) == space.mesh.num_cells
-        if whole_mesh and space.mesh.structured_shape is not None and space.degree == 1:
+        box = space.mesh.structured_shape is not None
+        if whole_mesh and box and space.degree == 1:
             # gather-free stencil fast path for box-structured grids
             return build_structured_geometry(space, q_degree, constraint, dtype)
+        if (
+            whole_mesh
+            and box
+            and space.degree == 2
+            and space.mesh.cell_type in ("quad", "hex")
+        ):
+            # degree-2 lattice stencil engine: strided slices, no gathers
+            from ..ops.structured import build_lattice_geometry
+
+            return build_lattice_geometry(space, q_degree, constraint, dtype)
         return build_packed_geometry(space, q_degree, constraint, cells, dtype)
 
     geos = tuple(make_geo(np.asarray(cells)) for _, cells in laws)
@@ -180,6 +191,18 @@ def make_packed_step(
             for geo, tg in zip(geos, tangents):
                 out = out + geo.matvec(vm, tg)
             return jnp.where(free, out, v)
+
+        if preconditioner is not None:
+            # node-major preconditioner (e.g. multigrid.build_p2_node_
+            # preconditioner for degree-2 spaces on box meshes)
+            def precond(rr):
+                z = preconditioner(jnp.where(free, rr, 0.0))
+                return jnp.where(free, z, rr)
+
+            return linear.cg_solve(
+                matvec, jnp.where(free, r, 0.0), rtol=cg_rtol,
+                maxiter=cg_maxiter, precond=precond, **cg_opts,
+            )
 
         diag = jnp.zeros_like(r)
         for geo, tg in zip(geos, tangents):

@@ -84,6 +84,7 @@ class PackedSimulation:
             use_pallas = (
                 structured
                 and on_tpu
+                and hasattr(geo, "offsets")  # degree-1 StructuredGeometry only
                 and getattr(geo, "gdim", 0) == 3
                 and geo.n_qp == 8
                 and geo.vs == 3
@@ -92,7 +93,6 @@ class PackedSimulation:
 
         pc = None
         if preconditioner is not None:
-            assert structured, "multilevel preconditioning needs a box mesh"
             mu, kappa = (
                 elastic_moduli
                 if elastic_moduli is not None
@@ -100,13 +100,50 @@ class PackedSimulation:
             )
             bc_dofs, _ = combine_bcs(bcs)
             free = jnp.ones(space.ndofs, bool).at[jnp.asarray(bc_dofs)].set(False)
-            fine_mv = None
-            if matvec_impl == "pallas":
-                from ..ops.pallas_matvec import build_pallas_matvec
+            if structured and getattr(geo, "degree", 1) >= 2:
+                # lattice engine: precondition with the refined-P1 hierarchy
+                # on the SAME dof lattice (identical node ordering, so the
+                # grid-major vectors coincide and no permutation is needed)
+                from ..fem.mesh import unit_cube_mesh, unit_square_mesh
+                from ..fem.spaces import FunctionSpace
+                from ..ops.structured import build_structured_geometry
 
-                fine_mv = build_pallas_matvec(geo)
-            mg = build_multigrid(geo, mu, kappa, free, fine_matvec=fine_mv)
-            pc = {"bpx": mg.bpx, "vcycle": mg}[preconditioner]
+                refined = tuple(geo.degree * g for g in geo.grid)
+                m1 = (
+                    unit_cube_mesh(*refined, "hex")
+                    if geo.gdim == 3
+                    else unit_square_mesh(*refined, "quad")
+                )
+                V1 = FunctionSpace(m1, 1, space.value_size)
+                geo1 = build_structured_geometry(
+                    V1, 2, geo.constraint, geo.KEPS_c.dtype
+                )
+                mg = build_multigrid(geo1, mu, kappa, free)
+                pc = {"bpx": mg.bpx, "vcycle": mg}[preconditioner]
+            elif structured:
+                fine_mv = None
+                if matvec_impl == "pallas":
+                    from ..ops.pallas_matvec import build_pallas_matvec
+
+                    fine_mv = build_pallas_matvec(geo)
+                mg = build_multigrid(geo, mu, kappa, free, fine_matvec=fine_mv)
+                pc = {"bpx": mg.bpx, "vcycle": mg}[preconditioner]
+            elif (
+                space.degree == 2
+                and space.mesh.structured_shape is not None
+                and len(geos) == 1
+            ):
+                # degree-2 on a box mesh: the P1 hierarchy on the P2 dof
+                # lattice preconditions the P2 operator (spectral equivalence)
+                from .multigrid import build_p2_node_preconditioner
+
+                pc = build_p2_node_preconditioner(
+                    space, mu, kappa, free,
+                    use_bpx=(preconditioner == "bpx"),
+                )
+            else:
+                msg = "multilevel preconditioning needs a box mesh (P1 or P2)"
+                raise AssertionError(msg)
 
         # f32 robustness defaults: round-off breaks exact conjugacy at deeply
         # plastic states (plain PCG stalls); flexible CG + f64 scalar

@@ -53,9 +53,31 @@ def main():
         f"P2 {n}^3 hex, q_degree={q}: QPs={geos[0].N:,} dofs={V.ndofs:,} "
         f"uniform={geos[0].uniform} (setup {time.perf_counter() - t0:.1f}s)"
     )
+    # the refined-P1 lattice multigrid preconditions the P2 operator
+    # (spectral equivalence; identical dof ordering so the grid-major
+    # vectors coincide); without it f32 Jacobi-CG loses conjugacy on the
+    # ill-conditioned P2 operator and Newton receives unusable directions
+    from fenics_constitutive_tpu.fem.mesh import unit_cube_mesh as _ucm
+    from fenics_constitutive_tpu.ops.structured import (
+        build_structured_geometry,
+    )
+    from fenics_constitutive_tpu.solver.multigrid import build_multigrid
+
+    free = jnp.ones(V.ndofs, bool)
+    bc_dofs0, _ = combine_bcs(bcs)
+    free = free.at[jnp.asarray(bc_dofs0)].set(False)
+    geo = geos[0]
+    m1 = _ucm(*(2 * g for g in geo.grid), "hex")
+    V1 = FunctionSpace(m1, 1, 3)
+    geo1 = build_structured_geometry(V1, 2, geo.constraint, geo.KEPS_c.dtype)
+    pc = build_multigrid(geo1, MAT["p_mu"], MAT["p_ka"], free)
+    # same metric as the P1 bench: ONE Newton iteration with a CONVERGED
+    # (rtol 1e-5 recursion) preconditioned CG. In f32 the P2 operator's
+    # true-residual floor is ~2e-2 (docs/performance.md); tight-tolerance
+    # P2 runs should enable x64.
     step = make_packed_step(
-        geos, newton_rtol=1e-5, newton_atol=1e-5, max_newton=25,
-        cg_rtol=1e-5, cg_maxiter=400,
+        geos, newton_rtol=0.0, newton_atol=0.0, max_newton=1,
+        cg_rtol=1e-5, cg_maxiter=250, preconditioner=pc,
     )
     jitted = jax.jit(step)
     bc_dofs, bc_vals = combine_bcs(bcs)

@@ -171,3 +171,107 @@ def test_packed_step_matches_problem_solve(cell_type):
     )
     alpha = np.asarray(state.histories[0]["alpha"])
     assert alpha.max() > 0  # plasticity happened
+
+
+@pytest.mark.parametrize("degree,q", [(1, 2), (2, 4)])
+def test_uniform_folded_operators_match_general_path(degree, q):
+    """The folded KEPS/KDIV uniform fast path (single MXU matmuls over
+    element-dof blocks) is numerically the general einsum path."""
+    import jax.numpy as jnp
+
+    from fenics_constitutive_tpu.ops.mandel import Constraint
+
+    mesh = unit_cube_mesh(3, 3, 3, "hex")
+    V = FunctionSpace(mesh, degree, 3)
+    geo = build_packed_geometry(V, q, Constraint.FULL)
+    assert geo.uniform and geo.KEPS_c is not None
+
+    rng = np.random.default_rng(5)
+    u = jnp.asarray(rng.normal(size=V.ndofs) * 1e-3)
+
+    eps_fast = np.asarray(geo.strain(u))
+    eps_gen = np.asarray(packed_strain(packed_grad(u, geo), geo.constraint))
+    np.testing.assert_allclose(eps_fast, eps_gen, rtol=1e-12, atol=1e-15)
+
+    sig = jnp.asarray(rng.normal(size=(6, geo.N)))
+    r_fast = np.asarray(geo.residual(sig))
+    r_gen = np.asarray(packed_residual(sig, geo))
+    np.testing.assert_allclose(r_fast, r_gen, rtol=1e-12, atol=1e-13)
+
+    from fenics_constitutive_tpu.ops.packed import IsotropicTangent
+
+    nvec = rng.normal(size=(6, geo.N))
+    nvec /= np.linalg.norm(nvec, axis=0)
+    tg = IsotropicTangent(
+        kappa=jnp.asarray(rng.uniform(1.0, 2.0, geo.N)),
+        beta=jnp.asarray(rng.uniform(1.0, 2.0, geo.N)),
+        gamma=jnp.asarray(rng.uniform(-0.5, 0.5, geo.N)),
+        n=jnp.asarray(nvec),
+    )
+    v = jnp.asarray(rng.normal(size=V.ndofs))
+    av_fast = np.asarray(geo.matvec(v, tg))
+    av_gen = np.asarray(packed_matvec(v, tg, geo))
+    np.testing.assert_allclose(av_fast, av_gen, rtol=1e-11, atol=1e-12)
+
+    d_fast = np.asarray(geo.jacobi_diag(tg))
+    d_gen = np.asarray(packed_jacobi_diag(tg, geo))
+    np.testing.assert_allclose(d_fast, d_gen, rtol=1e-11, atol=1e-12)
+
+
+def test_lattice_engine_matches_packed_general_path():
+    """The degree-2 lattice stencil engine (static strided slices, dense
+    [k, Q, C] cell fields) is numerically the general packed path."""
+    from fenics_constitutive_tpu.ops.packed import IsotropicTangent
+    from fenics_constitutive_tpu.ops.structured import build_lattice_geometry
+
+    mesh = unit_cube_mesh(3, 2, 4, "hex")
+    V = FunctionSpace(mesh, 2, 3)
+    lat = build_lattice_geometry(V, 4, Constraint.FULL)
+    pk = build_packed_geometry(V, 4, Constraint.FULL)
+    assert lat.N == pk.N and lat.n_qp == pk.n_qp
+
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(rng.normal(size=V.ndofs) * 1e-3)
+
+    eps_lat = np.asarray(lat.strain(u)).reshape(6, -1)
+    eps_pk = np.asarray(pk.strain(u))
+    # packed is q-major [s, Q*C]; lattice is [s, Q, C] -> same flat order
+    np.testing.assert_allclose(eps_lat, eps_pk, rtol=1e-12, atol=1e-15)
+
+    sig = rng.normal(size=(6, lat.n_qp, lat.n_cells))
+    r_lat = np.asarray(lat.residual(jnp.asarray(sig)))
+    r_pk = np.asarray(pk.residual(jnp.asarray(sig.reshape(6, -1))))
+    np.testing.assert_allclose(r_lat, r_pk, rtol=1e-12, atol=1e-13)
+
+    nvec = rng.normal(size=(6, lat.n_qp, lat.n_cells))
+    nvec /= np.linalg.norm(nvec, axis=0)
+    tg_lat = IsotropicTangent(
+        kappa=jnp.asarray(rng.uniform(1, 2, (lat.n_qp, lat.n_cells))),
+        beta=jnp.asarray(rng.uniform(1, 2, (lat.n_qp, lat.n_cells))),
+        gamma=jnp.asarray(rng.uniform(-0.5, 0.5, (lat.n_qp, lat.n_cells))),
+        n=jnp.asarray(nvec),
+    )
+    tg_pk = IsotropicTangent(
+        kappa=tg_lat.kappa.reshape(-1),
+        beta=tg_lat.beta.reshape(-1),
+        gamma=tg_lat.gamma.reshape(-1),
+        n=tg_lat.n.reshape(6, -1),
+    )
+    v = jnp.asarray(rng.normal(size=V.ndofs))
+    np.testing.assert_allclose(
+        np.asarray(lat.matvec(v, tg_lat)),
+        np.asarray(pk.matvec(v, tg_pk)),
+        rtol=1e-11, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(lat.jacobi_diag(tg_lat)),
+        np.asarray(pk.jacobi_diag(tg_pk)),
+        rtol=1e-11, atol=1e-12,
+    )
+
+    # observation gradient too
+    g_lat = np.asarray(lat.grad(u))
+    from fenics_constitutive_tpu.ops.packed import packed_grad
+
+    g_pk = np.asarray(packed_grad(u, pk))
+    np.testing.assert_allclose(g_lat, g_pk, rtol=1e-12, atol=1e-15)
