@@ -139,3 +139,50 @@ def test_packed_engine_problem_sharded_matches_unsharded():
     # uniqueness: stresses unique, displacements not)
     rel = np.linalg.norm(u_sh - u_ref) / np.linalg.norm(u_ref)
     assert rel < 5e-3, rel
+
+
+def test_p2_lattice_engine_sharded_matches_unsharded():
+    """GSPMD sharding of the degree-2 lattice conv engine: cell QP fields
+    shard on the trailing cell axis; XLA partitions the stride-2 convs."""
+    mesh = unit_cube_mesh(4, 4, 4, "hex")  # C = 64: 8-divisible
+    V = FunctionSpace(mesh, 2, 3)
+
+    def close(axis, v):
+        return lambda x: np.isclose(x[:, axis], v)
+
+    def build():
+        bc_move = DirichletBC(
+            V.locate_dofs_geometrical(close(0, 1.0), component=0), 0.0
+        )
+        bcs = [
+            DirichletBC(V.locate_dofs_geometrical(close(0, 0.0), component=0), 0.0),
+            bc_move,
+            DirichletBC(V.locate_dofs_geometrical(close(1, 0.0), component=1), 0.0),
+            DirichletBC(V.locate_dofs_geometrical(close(2, 0.0), component=2), 0.0),
+        ]
+        return IncrSmallStrainProblem(VonMises3D(MAT), V, bcs, 4), bc_move
+
+    def run(problem, bc_move):
+        for k in (1, 2):
+            bc_move.value = 0.005 * k
+            niter, converged = problem.solve()
+            assert converged
+            problem.update()
+        return np.asarray(problem.stress_0), np.asarray(
+            problem._history_0[0]["alpha"]
+        )
+
+    from fenics_constitutive_tpu.ops.structured import LatticeGeometry
+
+    p_ref, mv_ref = build()
+    assert isinstance(p_ref._pk_geos[0], LatticeGeometry)
+    s_ref, a_ref = run(p_ref, mv_ref)
+
+    p_sh, mv_sh = build()
+    shard_problem(p_sh, make_device_mesh(8))
+    assert not p_sh._stress_prev[0].sharding.is_fully_replicated
+    s_sh, a_sh = run(p_sh, mv_sh)
+
+    np.testing.assert_allclose(s_sh, s_ref, rtol=1e-9, atol=1e-8)
+    np.testing.assert_allclose(a_sh, a_ref, rtol=0, atol=1e-13)
+    assert a_ref.max() > 0  # plasticity happened
