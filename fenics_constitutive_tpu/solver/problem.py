@@ -144,7 +144,7 @@ class IncrSmallStrainProblem:
             self._histories_trial = pstate.histories
             self._eval_assemble = jax.jit(self._eval_assemble_packed_impl)
             self._linear_solve = jax.jit(
-                self._linear_solve_packed_impl, static_argnames=("cg_maxiter",)
+                self._linear_solve_packed_impl, static_argnames=("cg_maxiter", "cg_flexible")
             )
         else:
             self._pk_geos = None
@@ -159,7 +159,7 @@ class IncrSmallStrainProblem:
             self._histories_trial = self._histories
             self._eval_assemble = jax.jit(self._eval_assemble_impl)
             self._linear_solve = jax.jit(
-                self._linear_solve_impl, static_argnames=("cg_maxiter",)
+                self._linear_solve_impl, static_argnames=("cg_maxiter", "cg_flexible")
             )
 
     # -- AoS tabulated data (observation surface; built lazily so the packed
@@ -249,7 +249,7 @@ class IncrSmallStrainProblem:
         return r, tuple(stresses), tuple(tangents), tuple(hists)
 
     def _linear_solve_packed_impl(
-        self, geos, tangents, r, free, cg_rtol, cg_maxiter
+        self, geos, tangents, r, free, cg_rtol, cg_maxiter, cg_flexible=False
     ):
         # grid-major Krylov loop on the single-law structured fast path: the
         # node-major transposes happen once per Newton solve instead of twice
@@ -265,7 +265,8 @@ class IncrSmallStrainProblem:
 
             diag = jnp.where(free_gm, geo.jacobi_diag_gm(tg), 1.0)
             delta_gm, k = cg_solve(
-                matvec, r_gm, diag, rtol=cg_rtol, maxiter=cg_maxiter
+                matvec, r_gm, diag, rtol=cg_rtol, maxiter=cg_maxiter,
+                flexible=cg_flexible,
             )
             return geo.to_node_major(delta_gm), k
 
@@ -281,11 +282,13 @@ class IncrSmallStrainProblem:
             diag = diag + geo.jacobi_diag(tg)
         diag = jnp.where(free, diag, 1.0)
         return cg_solve(
-            matvec, jnp.where(free, r, 0.0), diag, rtol=cg_rtol, maxiter=cg_maxiter
+            matvec, jnp.where(free, r, 0.0), diag, rtol=cg_rtol,
+            maxiter=cg_maxiter, flexible=cg_flexible,
         )
 
     def _linear_solve_impl(
-        self, law_data, tangents, r, free, cg_rtol, cg_maxiter
+        self, law_data, tangents, r, free, cg_rtol, cg_maxiter,
+        cg_flexible=False,
     ):
         constraint = self.constraint
         diag = jnp.zeros_like(r)
@@ -306,7 +309,8 @@ class IncrSmallStrainProblem:
 
         b = jnp.where(free, r, 0.0)
         delta, k = cg_solve(
-            matvec, b, diag, rtol=cg_rtol, maxiter=cg_maxiter
+            matvec, b, diag, rtol=cg_rtol, maxiter=cg_maxiter,
+            flexible=cg_flexible,
         )
         return delta, k
 
@@ -319,11 +323,15 @@ class IncrSmallStrainProblem:
         atol: float = 1e-10,
         cg_rtol: float = 1e-14,
         cg_maxiter: int | None = None,
+        cg_flexible: bool = False,
     ) -> tuple[int, bool]:
         """Newton solve for the current load/time step.
 
         Returns (n_newton_iterations, converged) like dolfinx NewtonSolver.solve
         (e.g. reference tests/models/test_plasticity.py:102).
+
+        ``cg_flexible`` switches the inner CG to the Polak-Ribiere beta
+        (f32 robustness; see solver/linear.cg_solve).
         """
         bc_dofs, bc_vals = combine_bcs(self.bcs)
         bc_dofs_j = jnp.asarray(bc_dofs)
@@ -367,7 +375,8 @@ class IncrSmallStrainProblem:
             if it == max_iter:
                 break
             delta, _ = self._linear_solve(
-                geom, tangents, r, free, cg_rtol, cg_maxiter=cg_maxiter
+                geom, tangents, r, free, cg_rtol, cg_maxiter=cg_maxiter,
+                cg_flexible=cg_flexible,
             )
             # backtracking line search: full Newton steps can overshoot badly
             # on stiff hardening (the reference has no safeguard — its tests
