@@ -62,7 +62,7 @@ def _coarse_len(L: int) -> int:
                  "mu", "kappa"],
     meta_fields=[
         "node_grids", "vs", "n_levels", "omega", "nu", "coarse_iters",
-        "fine_matvec",
+        "fine_matvec", "smoother", "lmax",
     ],
 )
 @dataclass(frozen=True)
@@ -86,6 +86,14 @@ class MultigridPreconditioner:
     #: optional fused fine-level operator apply (e.g. the Pallas matvec);
     #: signature (v_gm, IsotropicTangent) -> r_gm. None = conv engine.
     fine_matvec: object = None
+    #: "jacobi" (omega-damped) or "chebyshev" (degree-nu polynomial on the
+    #: Jacobi-preconditioned operator; same A-applies per smooth, optimal
+    #: damping over [lmax/4, lmax])
+    smoother: str = "jacobi"
+    #: per-level upper bounds on lambda_max(D^-1 A), estimated at build by
+    #: power iteration (invariant to a COMMON scaling of mu/kappa, so they
+    #: stay valid under with_moduli'd plastic softening)
+    lmax: tuple = ()
 
     def with_moduli(self, mu, kappa):
         """New preconditioner with updated (traced) effective moduli — e.g.
@@ -201,10 +209,35 @@ class MultigridPreconditioner:
             vm = jnp.where(free, v, 0.0)
             return jnp.where(free, apply_op(vm), v)
 
-        def smooth(x, b_, iters):
-            def body(i, x_):
-                return x_ + jnp.where(free, inv_d * (b_ - A(x_)), 0.0)
-            return jax.lax.fori_loop(0, iters, body, x)
+        if self.smoother == "chebyshev" and lvl < self.n_levels - 1:
+            # degree-`iters` Chebyshev on D^-1 A over [lmax/4, lmax]: same
+            # number of A-applies as `iters` Jacobi sweeps, polynomially
+            # optimal damping of the upper 3/4 of the spectrum
+            inv_d_raw = 1.0 / diag
+            lmax_s = 1.05 * self.lmax[lvl]
+            lmin_s = lmax_s / 4.0
+            theta = 0.5 * (lmax_s + lmin_s)
+            delta = 0.5 * (lmax_s - lmin_s)
+            sigma = theta / delta
+
+            def smooth(x, b_, iters):
+                rho = 1.0 / sigma
+                r = jnp.where(free, b_ - A(x), 0.0)
+                d = jnp.where(free, inv_d_raw * r / theta, 0.0)
+                for _ in range(iters - 1):
+                    x = x + d
+                    r = r - jnp.where(free, A(d), 0.0)
+                    rho_new = 1.0 / (2.0 * sigma - rho)
+                    d = (rho_new * rho) * d + jnp.where(
+                        free, (2.0 * rho_new / delta) * inv_d_raw * r, 0.0
+                    )
+                    rho = rho_new
+                return x + d
+        else:
+            def smooth(x, b_, iters):
+                def body(i, x_):
+                    return x_ + jnp.where(free, inv_d * (b_ - A(x_)), 0.0)
+                return jax.lax.fori_loop(0, iters, body, x)
 
         if lvl == self.n_levels - 1:
             return smooth(jnp.zeros_like(b), b, self.coarse_iters)
@@ -360,6 +393,7 @@ def build_multigrid(
     min_size: int = 4,
     dtype=None,
     fine_matvec=None,
+    smoother: str = "jacobi",
 ) -> MultigridPreconditioner:
     """Build the elastic V-cycle hierarchy below a fine StructuredGeometry.
 
@@ -417,6 +451,47 @@ def build_multigrid(
     diag_kappa = tuple(g.jacobi_diag_gm(unit_kappa) for g in geos)
     diag_beta = tuple(g.jacobi_diag_gm(unit_beta) for g in geos)
 
+    lmax = ()
+    if smoother == "chebyshev":
+        # per-level lambda_max(D^-1 A) by power iteration with the build-time
+        # moduli; D^-1 A is invariant under common scaling of (mu, kappa), so
+        # the bound survives with_moduli-tracked softening (1.05 safety in
+        # the smoother covers mild ratio drift)
+        beta0 = 2.0 * float(mu)
+        tangent0 = IsotropicTangent(
+            kappa=jnp.asarray(float(kappa), dtype),
+            beta=jnp.asarray(beta0, dtype),
+            gamma=jnp.asarray(0.0, dtype),
+            n=jnp.zeros(n_shape, dtype),
+        )
+        ests = []
+        for lvl, g in enumerate(geos):
+            free = frees[lvl]
+            d = jnp.where(
+                free,
+                float(kappa) * diag_kappa[lvl] + beta0 * diag_beta[lvl],
+                1.0,
+            ).astype(dtype)
+
+            def DA(v, g=g, free=free, d=d):
+                vm = jnp.where(free, v, 0.0)
+                return jnp.where(free, g.matvec_gm(vm, tangent0), v) / d
+
+            @jax.jit
+            def power(v, DA=DA):
+                def body(i, carry):
+                    v, _ = carry
+                    w = DA(v)
+                    nrm = jnp.linalg.norm(w)
+                    return (w / nrm, nrm)
+
+                return jax.lax.fori_loop(0, 20, body, (v, jnp.asarray(1.0, dtype)))
+
+            v0 = jnp.sin(jnp.arange(d.shape[0], dtype=dtype) * 0.7) + 0.01
+            _, est = power(v0 / jnp.linalg.norm(v0))
+            ests.append(float(est))
+        lmax = tuple(ests)
+
     return MultigridPreconditioner(
         geos=tuple(geos),
         diag_kappa=diag_kappa,
@@ -432,4 +507,6 @@ def build_multigrid(
         nu=nu,
         coarse_iters=coarse_iters,
         fine_matvec=fine_matvec,
+        smoother=smoother,
+        lmax=lmax,
     )

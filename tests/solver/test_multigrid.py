@@ -131,6 +131,43 @@ def test_preconditioned_cg_matches_jacobi(setup, which):
     assert int(k_m) < int(k_j), (int(k_m), int(k_j))
 
 
+def test_chebyshev_smoother_cg(setup):
+    """Chebyshev-smoothed V-cycle: correct solution, competitive iterations.
+
+    Same A-applies per smooth as damped Jacobi, so beating the Jacobi-smoothed
+    count means strictly cheaper solves; equality is accepted (the advantage
+    grows with grid depth / plastic heterogeneity — measured at the 50^3 bench
+    state, see docs/performance.md)."""
+    from fenics_constitutive_tpu.fem import FunctionSpace, unit_cube_mesh
+    geo, mg_j, free, tg, r = setup
+    free_gm = geo.to_grid_major(free)
+    r_gm = geo.to_grid_major(jnp.where(free, r, 0.0))
+    mg_c = build_multigrid(geo, MU, KAPPA, free, smoother="chebyshev")
+    assert len(mg_c.lmax) == mg_c.n_levels
+    assert all(0.5 < l < 4.0 for l in mg_c.lmax), mg_c.lmax
+
+    def matvec(v):
+        vm = jnp.where(free_gm, v, 0.0)
+        return jnp.where(free_gm, geo.matvec_gm(vm, tg), v)
+
+    def precond_of(pc):
+        def precond(rr):
+            z = pc(jnp.where(free_gm, rr, 0.0))
+            return jnp.where(free_gm, z, rr)
+        return precond
+
+    x_j, k_j = cg_solve(
+        matvec, r_gm, rtol=1e-10, maxiter=2000, precond=precond_of(mg_j)
+    )
+    x_c, k_c = cg_solve(
+        matvec, r_gm, rtol=1e-10, maxiter=2000, precond=precond_of(mg_c)
+    )
+    np.testing.assert_allclose(
+        np.asarray(x_c), np.asarray(x_j), rtol=1e-6, atol=1e-12
+    )
+    assert int(k_c) <= int(k_j), (int(k_c), int(k_j))
+
+
 def test_grid_major_roundtrip(setup):
     geo, *_ = setup
     rng = np.random.default_rng(3)
