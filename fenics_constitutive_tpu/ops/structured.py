@@ -57,7 +57,7 @@ __all__ = [
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["KEPS_c", "KDIV_c", "mask", "cell_index"],
+    data_fields=["KEPS_c", "KDIV_c", "mask", "cell_index", "KE_I", "KE_V"],
     meta_fields=[
         "grid", "vs", "ndofs", "constraint", "n_nodes", "n_qp", "n_cells",
         "M", "offsets", "dN_host", "w_host",
@@ -78,6 +78,13 @@ class StructuredGeometry:
     KDIV_c: jnp.ndarray
     mask: jnp.ndarray
     cell_index: jnp.ndarray
+    #: quadrature-folded CONSTANT-COEFFICIENT element matrices [n*vs, n*vs]:
+    #: Ke(kappa, beta) = beta*KE_I + (kappa - beta/3)*KE_V, the closed form of
+    #: sum_q w_q B_q^T C B_q for C = kappa (I2 x I2) + beta P_dev. Lets the
+    #: multigrid level operators skip the [s*Q, M] strain/stress channel
+    #: fields entirely (elastic_matvec_gm): ~2.3x less HBM traffic per apply.
+    KE_I: jnp.ndarray
+    KE_V: jnp.ndarray
     grid: tuple
     vs: int
     ndofs: int
@@ -170,6 +177,19 @@ class StructuredGeometry:
 
     def matvec_gm(self, v_gm: jnp.ndarray, tangent) -> jnp.ndarray:
         return self.residual_gm(tangent.apply(self.strain_gm(v_gm)))
+
+    def elastic_matvec_gm(self, v_gm: jnp.ndarray, kappa, beta) -> jnp.ndarray:
+        """Constant-coefficient elastic operator apply, quadrature folded.
+
+        Equivalent to ``matvec_gm(v, IsotropicTangent(kappa, beta, 0, .))``
+        but as ONE [n*vs, n*vs] x [n*vs, M] matmul on corner-dof blocks — no
+        [s*Q, M] strain/stress intermediates. kappa/beta may be traced
+        scalars (the multigrid's with_moduli adaptation)."""
+        U = self._corner_dofs(v_gm.reshape(self.vs, self.M))
+        U = U * self.mask.astype(U.dtype)
+        Ke = (beta * self.KE_I + (kappa - beta / 3.0) * self.KE_V).astype(U.dtype)
+        F = jnp.matmul(Ke, U, preferred_element_type=U.dtype)
+        return self._scatter_corners(F).reshape(-1)
 
     def jacobi_diag_gm(self, tangent) -> jnp.ndarray:
         """diag(A) in grid-major layout via per-corner B^T C B."""
@@ -291,6 +311,18 @@ def build_structured_geometry(
     for q in range(Q):
         KDIV_c[:, [s * Q + q for s in range(sdim)]] *= w[q]
 
+    # constant-coefficient element matrices (see StructuredGeometry.KE_I):
+    # B_q [s, n*vs] are the per-QP rows of KEPS_c; i2 spans the first three
+    # Mandel (diagonal) slots
+    KE_I = np.zeros((n * vs, n * vs))
+    KE_V = np.zeros((n * vs, n * vs))
+    n_diag = min(3, sdim)
+    for q in range(Q):
+        B_q = KEPS_c[[s * Q + q for s in range(sdim)], :]  # [s, n*vs]
+        KE_I += w[q] * (B_q.T @ B_q)
+        bv = B_q[:n_diag].sum(axis=0)  # i2^T B_q
+        KE_V += w[q] * np.outer(bv, bv)
+
     # valid-origin mask and cell origin indices (mesh cell order: row-major
     # over the cell grid, z fastest — same as the node flat order restricted
     # to origins)
@@ -309,6 +341,8 @@ def build_structured_geometry(
         KDIV_c=jnp.asarray(KDIV_c, dtype),
         mask=jnp.asarray(mask, dtype),
         cell_index=jnp.asarray(cell_index),
+        KE_I=jnp.asarray(KE_I, dtype),
+        KE_V=jnp.asarray(KE_V, dtype),
         grid=tuple(grid),
         vs=vs,
         ndofs=space.ndofs,

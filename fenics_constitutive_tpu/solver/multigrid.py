@@ -198,11 +198,16 @@ class MultigridPreconditioner:
         free = self.frees[lvl]
         inv_d = self.omega / diag
         b = jnp.where(free, b, 0.0)
-        apply_op = (
-            (lambda v: self.fine_matvec(v, tg))
-            if (lvl == 0 and self.fine_matvec is not None)
-            else (lambda v: geo.matvec_gm(v, tg))
-        )
+        if lvl == 0 and self.fine_matvec is not None:
+            apply_op = lambda v: self.fine_matvec(v, tg)
+        elif tg is not fine_tangent and hasattr(geo, "elastic_matvec_gm"):
+            # constant-coefficient level operator: quadrature-folded element
+            # matmul, no [s*Q, M] channel intermediates (~2x cheaper apply)
+            apply_op = lambda v: geo.elastic_matvec_gm(
+                v, self.kappa, 2.0 * self.mu
+            )
+        else:
+            apply_op = lambda v: geo.matvec_gm(v, tg)
 
         def A(v):
             # constrained (identity-row) elastic operator at this level

@@ -105,6 +105,7 @@ def make_packed_step(
     matvec_impl: str = "conv",
     cg_flexible: bool = False,
     cg_reduce_dtype=None,
+    precond_dtype=None,
 ):
     """Build ``step(models, state, bc_dofs, bc_vals, f_ext, dt) -> (state', stats)``.
 
@@ -117,6 +118,18 @@ def make_packed_step(
     ``cg_flexible``/``cg_reduce_dtype``: flexible (Polak-Ribiere) CG and
     higher-precision scalar reductions — the f32 robustness options of
     solver/linear.cg_solve.
+    ``precond_dtype``: run the preconditioner apply in this dtype (e.g.
+    ``jnp.bfloat16`` — every level op follows its input dtype, so one cast at
+    the boundary halves the HBM traffic of the dominant V-cycle cost; CG's
+    own matvec/residual stay in the working dtype, so convergence is still
+    measured in full precision). A reduced-precision M is slightly inexact
+    as a linear operator; pair with ``cg_flexible=True``.
+    (Adapting the hierarchy's moduli per Newton iteration from the mean
+    consistent tangent was measured and rejected: no gain at the 1M-QP bench
+    state, and with exponential-hardening softening the mean beta collapses,
+    degenerating the cycle — CG hit its iteration cap. The elastic hierarchy
+    with build-time moduli is the robust choice; see MultigridPreconditioner
+    .prepared for the equivalent warning about true-tangent smoothing.)
     """
     ndofs = geos[0].ndofs
     constraint = geos[0].constraint
@@ -170,7 +183,11 @@ def make_packed_step(
                 pc = preconditioner
 
                 def precond(rr):
-                    z = pc(jnp.where(free_gm, rr, 0.0))
+                    rm = jnp.where(free_gm, rr, 0.0)
+                    if precond_dtype is not None:
+                        z = pc(rm.astype(precond_dtype)).astype(rr.dtype)
+                    else:
+                        z = pc(rm)
                     return jnp.where(free_gm, z, rr)
 
                 delta_gm, k = linear.cg_solve(
@@ -196,7 +213,11 @@ def make_packed_step(
             # node-major preconditioner (e.g. multigrid.build_p2_node_
             # preconditioner for degree-2 spaces on box meshes)
             def precond(rr):
-                z = preconditioner(jnp.where(free, rr, 0.0))
+                rm = jnp.where(free, rr, 0.0)
+                if precond_dtype is not None:
+                    z = preconditioner(rm.astype(precond_dtype)).astype(rr.dtype)
+                else:
+                    z = preconditioner(rm)
                 return jnp.where(free, z, rr)
 
             return linear.cg_solve(

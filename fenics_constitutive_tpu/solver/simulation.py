@@ -176,7 +176,9 @@ class PackedSimulation:
         self._newton_rtol = newton_rtol
         self._newton_atol = newton_atol
         self._max_subdivisions = max_subdivisions
+        self._step = step
         self._jitted = jax.jit(step)
+        self._jitted_schedule = None
         self.last_stats = None
 
     def _attempt(self, bc_dofs, bc_vals, f_ext, dt) -> tuple[int, bool]:
@@ -244,6 +246,79 @@ class PackedSimulation:
                 return total, True
         self.state = state0
         return niter, False
+
+    def solve_schedule(self, bc_values, dts=None) -> dict:
+        """Run a whole load schedule device-side in ONE dispatch.
+
+        The reference's user loop re-enters Python (and re-crosses the
+        host<->device boundary) every load step (SURVEY §3.4); on TPU that
+        dispatch latency can rival the step itself. This runs all K steps as
+        a single ``lax.scan``-compiled XLA program and commits the final
+        state — the production pattern for long load paths.
+
+        Args:
+            bc_values: [K, n_bc] Dirichlet values per step, in the
+                ``combine_bcs(self.bcs)`` dof ordering (build it with e.g.
+                ``np.linspace`` ramps of each BC's value), or a callable
+                ``f(step_index) -> [n_bc]`` evaluated host-side for K from
+                ``dts``.
+            dts: optional [K] time increments (default: ``del_t`` each).
+
+        Returns:
+            dict of per-step stat arrays: ``newton_iters`` [K],
+            ``r_norm`` [K], ``r0_norm`` [K], ``cg_iters_last`` [K],
+            ``converged`` [K] (bool, residual-tolerance semantics of
+            ``solve()``). No adaptive substepping — a failed step simply
+            reports unconverged; use ``solve()`` for the recovery path.
+        """
+        bc_dofs_np, _ = combine_bcs(self.bcs)
+        dtype = self.state.u.dtype
+        if callable(bc_values):
+            assert dts is not None, "callable bc_values needs dts for K"
+            bc_values = np.stack([bc_values(i) for i in range(len(dts))])
+        vals = jnp.asarray(bc_values, dtype)
+        K = vals.shape[0]
+        dts_j = (
+            jnp.full((K,), self.del_t, dtype)
+            if dts is None
+            else jnp.asarray(dts, dtype)
+        )
+        bc_dofs = jnp.asarray(bc_dofs_np)
+        f_ext = jnp.zeros(self.space.ndofs, dtype)
+
+        if self._jitted_schedule is None:
+            step = self._step
+            models = self._models
+
+            def run(state, vals, dts_j, bc_dofs, f_ext):
+                def body(st, xs):
+                    v, dt = xs
+                    s2, stats = step(models, st, bc_dofs, v, f_ext, dt)
+                    return s2, (
+                        stats["newton_iters"], stats["r_norm"],
+                        stats["r0_norm"], stats["cg_iters_last"],
+                    )
+
+                return jax.lax.scan(body, state, (vals, dts_j))
+
+            self._jitted_schedule = jax.jit(run)
+
+        self.state, (ni, rn, r0, cg) = self._jitted_schedule(
+            self.state, vals, dts_j, bc_dofs, f_ext
+        )
+        rn = np.asarray(rn)
+        r0 = np.asarray(r0)
+        conv = rn <= np.maximum(self._newton_atol, self._newton_rtol * r0)
+        conv &= np.isfinite(rn)
+        stats = {
+            "newton_iters": np.asarray(ni),
+            "r_norm": rn,
+            "r0_norm": r0,
+            "cg_iters_last": np.asarray(cg),
+            "converged": conv,
+        }
+        self.last_stats = {k: v[-1] for k, v in stats.items()}
+        return stats
 
     @property
     def u(self) -> jnp.ndarray:

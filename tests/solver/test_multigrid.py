@@ -131,6 +131,23 @@ def test_preconditioned_cg_matches_jacobi(setup, which):
     assert int(k_m) < int(k_j), (int(k_m), int(k_j))
 
 
+def test_elastic_matvec_folded_equivalence(setup):
+    """elastic_matvec_gm (quadrature-folded element matmul) must equal the
+    channel-path matvec with the equivalent constant IsotropicTangent."""
+    from fenics_constitutive_tpu.ops.packed import IsotropicTangent
+
+    geo, mg, free, tg, r = setup
+    rng = np.random.default_rng(7)
+    v = jnp.asarray(rng.normal(size=geo.ndofs))
+    tge = IsotropicTangent(
+        kappa=jnp.asarray(KAPPA), beta=jnp.asarray(2.0 * MU),
+        gamma=jnp.asarray(0.0), n=jnp.zeros((6, 1, 1)),
+    )
+    a = geo.matvec_gm(v, tge)
+    b = geo.elastic_matvec_gm(v, jnp.asarray(KAPPA), jnp.asarray(2.0 * MU))
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-12, atol=1e-9)
+
+
 def test_chebyshev_smoother_cg(setup):
     """Chebyshev-smoothed V-cycle: correct solution, competitive iterations.
 

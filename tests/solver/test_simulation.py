@@ -61,6 +61,41 @@ def test_simulation_matches_interactive(pc):
     assert sim.last_stats["cg_iters_last"] > 0
 
 
+def test_solve_schedule_matches_sequential():
+    """solve_schedule (one lax.scan dispatch for the whole load path) commits
+    the same state as K sequential solve() calls."""
+    from fenics_constitutive_tpu.fem.bcs import combine_bcs
+
+    V, bcs, bc_move = setup()
+    ramp = [0.004, 0.008, 0.012]
+
+    sim_seq = PackedSimulation(VonMises3D(MAT), V, bcs, 2)
+    for v in ramp:
+        bc_move.value = v
+        _, conv = sim_seq.solve()
+        assert conv
+
+    bc_move.value = 0.0
+    sim_sched = PackedSimulation(VonMises3D(MAT), V, bcs, 2)
+    # build the [K, n_bc] schedule: mutate bc_move per step and capture the
+    # combined value vector
+    vals = []
+    for v in ramp:
+        bc_move.value = v
+        vals.append(combine_bcs(bcs)[1])
+    stats = sim_sched.solve_schedule(np.stack(vals))
+
+    assert stats["converged"].all(), stats
+    assert stats["newton_iters"].shape == (3,)
+    np.testing.assert_allclose(
+        np.asarray(sim_sched.u), np.asarray(sim_seq.u), rtol=1e-10, atol=1e-13
+    )
+    np.testing.assert_allclose(
+        sim_sched.stress, sim_seq.stress, rtol=1e-8, atol=1e-10
+    )
+    assert sim_sched.time == pytest.approx(sim_seq.time)
+
+
 def test_convergence_reporting_semantics():
     """converged reflects the residual tolerance, not "stopped before cap".
 
