@@ -59,10 +59,10 @@ def _coarse_len(L: int) -> int:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["geos", "diag_kappa", "diag_beta", "frees", "K_transfer",
-                 "mu", "kappa"],
+                 "mu", "kappa", "coarse_inv"],
     meta_fields=[
         "node_grids", "vs", "n_levels", "omega", "nu", "coarse_iters",
-        "fine_matvec", "smoother", "lmax",
+        "fine_matvec", "smoother", "lmax", "nu_coarse", "kappa0",
     ],
 )
 @dataclass(frozen=True)
@@ -94,6 +94,19 @@ class MultigridPreconditioner:
     #: power iteration (invariant to a COMMON scaling of mu/kappa, so they
     #: stay valid under with_moduli'd plastic softening)
     lmax: tuple = ()
+    #: smoothing sweeps on levels >= 1 (None = same as nu). The coarse
+    #: hierarchy is op-overhead-bound on TPU (measured: levels 1+ cost MORE
+    #: than the fine level at 50^3 despite 8x less data), so lighter coarse
+    #: smoothing trades negligible convergence for real wall-clock.
+    nu_coarse: int = None
+    #: dense inverse of the coarsest constrained elastic operator (None =
+    #: iterative coarse smoothing). Built at the build-time moduli; the apply
+    #: rescales by kappa0/kappa so it stays exact under a COMMON with_moduli
+    #: scaling. Replaces `coarse_iters` Jacobi sweeps (each op-overhead-bound
+    #: at 4^3) with one small matmul.
+    coarse_inv: jnp.ndarray = None
+    #: build-time kappa (the common-scaling reference for coarse_inv)
+    kappa0: float = 1.0
 
     def with_moduli(self, mu, kappa):
         """New preconditioner with updated (traced) effective moduli — e.g.
@@ -245,13 +258,24 @@ class MultigridPreconditioner:
                 return jax.lax.fori_loop(0, iters, body, x)
 
         if lvl == self.n_levels - 1:
+            if self.coarse_inv is not None:
+                # exact coarse solve: one small matmul instead of
+                # `coarse_iters` op-overhead-bound Jacobi sweeps; the stored
+                # inverse is rescaled for common-moduli with_moduli changes
+                scale = (self.kappa0 / self.kappa).astype(b.dtype)
+                return jnp.where(
+                    free, (self.coarse_inv.astype(b.dtype) @ b) * scale, 0.0
+                )
             return smooth(jnp.zeros_like(b), b, self.coarse_iters)
 
-        x = smooth(jnp.zeros_like(b), b, self.nu)
+        nu = self.nu if lvl == 0 else (
+            self.nu if self.nu_coarse is None else self.nu_coarse
+        )
+        x = smooth(jnp.zeros_like(b), b, nu)
         r = jnp.where(free, b - A(x), 0.0)
         xc = self.vcycle(lvl + 1, self.restrict(r, lvl))
         x = x + jnp.where(free, self.prolong(xc, lvl), 0.0)
-        x = smooth(x, b, self.nu)
+        x = smooth(x, b, nu)
         return x
 
     def bpx(self, r_gm):
@@ -399,6 +423,8 @@ def build_multigrid(
     dtype=None,
     fine_matvec=None,
     smoother: str = "jacobi",
+    nu_coarse: int = None,
+    coarse_direct: bool = False,
 ) -> MultigridPreconditioner:
     """Build the elastic V-cycle hierarchy below a fine StructuredGeometry.
 
@@ -497,6 +523,28 @@ def build_multigrid(
             ests.append(float(est))
         lmax = tuple(ests)
 
+    coarse_inv = None
+    if coarse_direct:
+        # dense inverse of the coarsest constrained elastic operator (tiny:
+        # vs * prod(coarsest grid) dofs). Columns by vmapped operator apply.
+        gC, freeC = geos[-1], frees[-1]
+        tangC = IsotropicTangent(
+            kappa=jnp.asarray(float(kappa), dtype),
+            beta=jnp.asarray(2.0 * float(mu), dtype),
+            gamma=jnp.asarray(0.0, dtype),
+            n=jnp.zeros(n_shape, dtype),
+        )
+
+        def Acol(v):
+            vm = jnp.where(freeC, v, 0.0)
+            return jnp.where(freeC, gC.matvec_gm(vm, tangC), v)
+
+        eye = jnp.eye(gC.ndofs, dtype=dtype)
+        Amat = jax.jit(jax.vmap(Acol, in_axes=1, out_axes=1))(eye)
+        coarse_inv = jnp.asarray(
+            np.linalg.inv(np.asarray(Amat, np.float64)), dtype
+        )
+
     return MultigridPreconditioner(
         geos=tuple(geos),
         diag_kappa=diag_kappa,
@@ -514,4 +562,7 @@ def build_multigrid(
         fine_matvec=fine_matvec,
         smoother=smoother,
         lmax=lmax,
+        nu_coarse=nu_coarse,
+        coarse_inv=coarse_inv,
+        kappa0=float(kappa),
     )

@@ -185,6 +185,47 @@ def test_chebyshev_smoother_cg(setup):
     assert int(k_c) <= int(k_j), (int(k_c), int(k_j))
 
 
+def test_direct_coarse_solve_cg(setup):
+    """coarse_direct=True (dense inverse at the coarsest level) yields the
+    same CG solution with no more iterations than iterative coarse smoothing."""
+    geo, mg_it, free, tg, r = setup
+    free_gm = geo.to_grid_major(free)
+    r_gm = geo.to_grid_major(jnp.where(free, r, 0.0))
+    mg_d = build_multigrid(geo, MU, KAPPA, free, coarse_direct=True)
+    nC = mg_d.coarse_inv.shape[0]
+    assert mg_d.coarse_inv.shape == (nC, nC)
+    # the stored inverse actually inverts the constrained coarse operator
+    gC, freeC = mg_d.geos[-1], mg_d.frees[-1]
+    tangC = mg_d._tangent(mg_d.n_levels - 1, mg_d.coarse_inv.dtype)
+    rng = np.random.default_rng(11)
+    v = jnp.where(freeC, jnp.asarray(rng.normal(size=nC)), 0.0)
+    Av = jnp.where(freeC, gC.matvec_gm(jnp.where(freeC, v, 0.0), tangC), v)
+    np.testing.assert_allclose(
+        np.asarray(mg_d.coarse_inv @ Av), np.asarray(v), rtol=1e-8, atol=1e-10
+    )
+
+    def matvec(w):
+        wm = jnp.where(free_gm, w, 0.0)
+        return jnp.where(free_gm, geo.matvec_gm(wm, tg), w)
+
+    def precond_of(pc):
+        def precond(rr):
+            z = pc(jnp.where(free_gm, rr, 0.0))
+            return jnp.where(free_gm, z, rr)
+        return precond
+
+    x_i, k_i = cg_solve(
+        matvec, r_gm, rtol=1e-10, maxiter=2000, precond=precond_of(mg_it)
+    )
+    x_d, k_d = cg_solve(
+        matvec, r_gm, rtol=1e-10, maxiter=2000, precond=precond_of(mg_d)
+    )
+    np.testing.assert_allclose(
+        np.asarray(x_d), np.asarray(x_i), rtol=1e-6, atol=1e-12
+    )
+    assert int(k_d) <= int(k_i) + 1, (int(k_d), int(k_i))
+
+
 def test_grid_major_roundtrip(setup):
     geo, *_ = setup
     rng = np.random.default_rng(3)
