@@ -29,6 +29,7 @@ def cg_solve(
     precond: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
     flexible: bool = False,
     reduce_dtype: jnp.dtype | None = None,
+    fixed_iters: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Solve A x = b with preconditioned CG.
 
@@ -49,6 +50,14 @@ def cg_solve(
             dtype (e.g. ``jnp.float64`` for an f32 state — dots are O(n)
             next to the O(n*stencil) matvec, so the emulated-f64 cost on TPU
             is negligible while removing the dominant round-off source).
+        fixed_iters: run exactly this many iterations as a ``fori_loop``
+            with NO per-iteration convergence test — drops the extra
+            residual dot and the while-loop condition sync each iteration,
+            which lets XLA pipeline the loop body. For production stepping
+            where the iteration count at the target tolerance is known to be
+            stable (e.g. a preconditioned operator whose spectrum barely
+            moves between load steps), this trades the adaptive exit for
+            per-iteration overhead; verify the achieved residual downstream.
 
     Returns:
         (x, n_iterations).
@@ -98,5 +107,11 @@ def cg_solve(
         return (x, r_new, z, p, r, rz_new, k + 1)
 
     state = (x0, r0, z0, z0, r0, rz0, jnp.asarray(0, jnp.int32))
+    if fixed_iters is not None:
+        state = jax.lax.fori_loop(
+            0, fixed_iters, lambda i, s: body(s), state
+        )
+        x, _, _, _, _, _, k = state
+        return x, k
     x, r, _, _, _, _, k = jax.lax.while_loop(cond, body, state)
     return x, k

@@ -106,6 +106,7 @@ def make_packed_step(
     cg_flexible: bool = False,
     cg_reduce_dtype=None,
     precond_dtype=None,
+    cg_fixed_iters: int | None = None,
 ):
     """Build ``step(models, state, bc_dofs, bc_vals, f_ext, dt) -> (state', stats)``.
 
@@ -133,7 +134,10 @@ def make_packed_step(
     """
     ndofs = geos[0].ndofs
     constraint = geos[0].constraint
-    cg_opts = dict(flexible=cg_flexible, reduce_dtype=cg_reduce_dtype)
+    cg_opts = dict(
+        flexible=cg_flexible, reduce_dtype=cg_reduce_dtype,
+        fixed_iters=cg_fixed_iters,
+    )
 
     def eval_assemble(models, u, state: PackedState, f_ext, dt):
         du = u - state.u

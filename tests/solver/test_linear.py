@@ -27,6 +27,22 @@ def test_cg_solves_spd():
     assert int(k) < 500
 
 
+def test_fixed_iters_matches_adaptive():
+    """fixed_iters=k reproduces the adaptive solve's iterate exactly (same
+    recurrence, no convergence test), and returns k."""
+    A = _spd(50, 1e4, seed=3)
+    x_true = np.sin(np.arange(50))
+    b = jnp.asarray(A @ x_true)
+    Aj = jnp.asarray(A)
+    x_a, k_a = cg_solve(lambda v: Aj @ v, b, jnp.diag(Aj), rtol=1e-10)
+    x_f, k_f = cg_solve(
+        lambda v: Aj @ v, b, jnp.diag(Aj), fixed_iters=int(k_a)
+    )
+    assert int(k_f) == int(k_a)
+    np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_a), rtol=1e-12,
+                               atol=1e-12)
+
+
 def test_flexible_cg_f32_ill_conditioned():
     """On an ill-conditioned f32 system, PR-beta (flexible) CG with f64
     reductions reaches a residual plain f32 CG cannot hold reliably."""
