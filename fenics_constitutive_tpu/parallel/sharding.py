@@ -77,6 +77,11 @@ def shard_problem(problem, mesh: Mesh, axis: str = "cells") -> None:
                 updates["cell_index"] = _put(geo.cell_index, repl)
             if hasattr(geo, "w") and geo.w is not None:
                 updates["w"] = _put(geo.w, repl)
+            if getattr(geo, "KE_I", None) is not None:
+                # folded constant-coefficient element matrices (small): keep
+                # every registered data leaf explicitly placed
+                updates["KE_I"] = _put(geo.KE_I, repl)
+                updates["KE_V"] = _put(geo.KE_V, repl)
             return dataclasses.replace(geo, **updates)
         # packed: flat-QP arrays shard; small constants/plans replicate
         return dataclasses.replace(

@@ -227,18 +227,30 @@ class MultigridPreconditioner:
             vm = jnp.where(free, v, 0.0)
             return jnp.where(free, apply_op(vm), v)
 
-        if self.smoother == "chebyshev" and lvl < self.n_levels - 1:
+        # Chebyshev only smooths the CONSTANT-coefficient operator its lmax
+        # bound was estimated for — the prepared() true-tangent fine level
+        # falls back to damped Jacobi (a heterogeneous tangent's spectrum can
+        # exceed the elastic bound, and an undershot Chebyshev interval
+        # AMPLIFIES the uncovered top modes).
+        use_cheb = (
+            self.smoother == "chebyshev"
+            and lvl < self.n_levels - 1
+            and tg is not fine_tangent
+        )
+        if use_cheb:
             # degree-`iters` Chebyshev on D^-1 A over [lmax/4, lmax]: same
             # number of A-applies as `iters` Jacobi sweeps, polynomially
             # optimal damping of the upper 3/4 of the spectrum
             inv_d_raw = 1.0 / diag
-            lmax_s = 1.05 * self.lmax[lvl]
+            lmax_s = 1.1 * self.lmax[lvl]
             lmin_s = lmax_s / 4.0
             theta = 0.5 * (lmax_s + lmin_s)
             delta = 0.5 * (lmax_s - lmin_s)
             sigma = theta / delta
 
             def smooth(x, b_, iters):
+                if iters <= 0:
+                    return x
                 rho = 1.0 / sigma
                 r = jnp.where(free, b_ - A(x), 0.0)
                 d = jnp.where(free, inv_d_raw * r / theta, 0.0)
@@ -486,7 +498,7 @@ def build_multigrid(
     if smoother == "chebyshev":
         # per-level lambda_max(D^-1 A) by power iteration with the build-time
         # moduli; D^-1 A is invariant under common scaling of (mu, kappa), so
-        # the bound survives with_moduli-tracked softening (1.05 safety in
+        # the bound survives with_moduli-tracked softening (1.1 safety in
         # the smoother covers mild ratio drift)
         beta0 = 2.0 * float(mu)
         tangent0 = IsotropicTangent(
@@ -516,7 +528,11 @@ def build_multigrid(
                     nrm = jnp.linalg.norm(w)
                     return (w / nrm, nrm)
 
-                return jax.lax.fori_loop(0, 20, body, (v, jnp.asarray(1.0, dtype)))
+                # 50 iterations: power iteration converges to lambda_max from
+                # BELOW, and elasticity's top eigenvalues cluster on fine
+                # grids — together with the 1.1 interval margin in the
+                # smoother this keeps the Chebyshev bound an upper bound
+                return jax.lax.fori_loop(0, 50, body, (v, jnp.asarray(1.0, dtype)))
 
             v0 = jnp.sin(jnp.arange(d.shape[0], dtype=dtype) * 0.7) + 0.01
             _, est = power(v0 / jnp.linalg.norm(v0))

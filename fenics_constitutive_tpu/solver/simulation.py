@@ -278,6 +278,13 @@ class PackedSimulation:
             bc_values = np.stack([bc_values(i) for i in range(len(dts))])
         vals = jnp.asarray(bc_values, dtype)
         K = vals.shape[0]
+        if K == 0:
+            return {
+                "newton_iters": np.zeros(0, np.int32),
+                "r_norm": np.zeros(0), "r0_norm": np.zeros(0),
+                "cg_iters_last": np.zeros(0, np.int32),
+                "converged": np.zeros(0, bool),
+            }
         dts_j = (
             jnp.full((K,), self.del_t, dtype)
             if dts is None

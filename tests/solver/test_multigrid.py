@@ -155,7 +155,6 @@ def test_chebyshev_smoother_cg(setup):
     count means strictly cheaper solves; equality is accepted (the advantage
     grows with grid depth / plastic heterogeneity — measured at the 50^3 bench
     state, see docs/performance.md)."""
-    from fenics_constitutive_tpu.fem import FunctionSpace, unit_cube_mesh
     geo, mg_j, free, tg, r = setup
     free_gm = geo.to_grid_major(free)
     r_gm = geo.to_grid_major(jnp.where(free, r, 0.0))
