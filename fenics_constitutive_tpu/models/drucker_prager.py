@@ -23,6 +23,7 @@ model, which is smooth at the apex.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import mandel
 from ..ops.mandel import Constraint
@@ -36,9 +37,10 @@ class _DruckerPragerBase(IncrSmallStrainModel):
     _param_names: tuple[str, ...]
 
     def __init__(self, parameters):
-        ftype = jnp.result_type(float)
+        # weak-typed scalars: follow the state dtype (see as_param_dict)
         self.params = {
-            k: jnp.asarray(parameters[k], ftype).reshape(()) for k in self._param_names
+            k: jnp.asarray(float(np.asarray(parameters[k]).reshape(())))
+            for k in self._param_names
         }
         #: local-Newton controls (reference general.rs:168-170)
         self.newton_atol = 1e-10

@@ -188,5 +188,10 @@ def register_model(cls=None, *, param_fields: tuple[str, ...] = ("params",)):
 
 
 def as_param_dict(parameters: dict[str, Any]) -> dict[str, Array]:
-    """Coerce a user parameter dict (floats / numpy scalars) to jnp scalars."""
-    return {k: jnp.asarray(v, dtype=jnp.result_type(float)) for k, v in parameters.items()}
+    """Coerce a user parameter dict (floats / numpy scalars) to jnp scalars.
+
+    WEAK-typed on purpose: a weak scalar follows the dtype of the array it
+    meets, so an f32 problem under an x64-enabled session stays f32 in the
+    constitutive kernels (a strongly-typed f64 parameter would silently
+    promote every QP field to f64 — and break the f32 CG while_loop carry)."""
+    return {k: jnp.asarray(float(v)) for k, v in parameters.items()}

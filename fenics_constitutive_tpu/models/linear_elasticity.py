@@ -30,9 +30,10 @@ class LinearElasticityModel(IncrSmallStrainModel):
         nu = float(parameters["nu"])
         # The tangent is a function of (E, nu); store the parameters as leaves and
         # build D at trace time so a jitted step follows parameter updates.
+        # weak-typed scalars: follow the state dtype (see as_param_dict)
         self.params = {
-            "E": jnp.asarray(E, dtype=jnp.result_type(float)),
-            "nu": jnp.asarray(nu, dtype=jnp.result_type(float)),
+            "E": jnp.asarray(E),
+            "nu": jnp.asarray(nu),
         }
 
     def _tangent(self, dtype) -> Array:

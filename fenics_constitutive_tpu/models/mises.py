@@ -22,6 +22,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import mandel
 from ..ops.mandel import Constraint
@@ -48,9 +49,9 @@ class VonMises3D(IncrSmallStrainModel):
     newton_max_iter = 100
 
     def __init__(self, param: dict[str, float]):
-        ftype = jnp.result_type(float)
+        # weak-typed scalars: follow the state dtype (see as_param_dict)
         self.params = {
-            k: jnp.asarray(float(param[k]), ftype)
+            k: jnp.asarray(float(param[k]))
             for k in ("p_ka", "p_mu", "p_y0", "p_y00", "p_w")
         }
 
@@ -194,9 +195,9 @@ class MisesPlasticityLinearHardening3D(IncrSmallStrainModel):
     """
 
     def __init__(self, parameters: dict[str, float]):
-        ftype = jnp.result_type(float)
+        # weak-typed scalars: follow the state dtype (see as_param_dict)
         self.params = {
-            k: jnp.asarray(parameters[k], ftype).reshape(())
+            k: jnp.asarray(float(np.asarray(parameters[k]).reshape(())))
             for k in ("mu", "kappa", "y_0", "h")
         }
 

@@ -48,13 +48,13 @@ class _SLSBase(IncrSmallStrainModel):
 
     def __init__(self, parameters: dict[str, float], constraint: Constraint):
         self._constraint = constraint
-        ftype = jnp.result_type(float)
         nu = 0.0 if constraint == Constraint.UNIAXIAL_STRESS else float(parameters["nu"])
+        # weak-typed scalars: follow the state dtype (see as_param_dict)
         self.params = {
-            "E0": jnp.asarray(float(parameters["E0"]), ftype),
-            "E1": jnp.asarray(float(parameters["E1"]), ftype),
-            "tau": jnp.asarray(float(parameters["tau"]), ftype),
-            "nu": jnp.asarray(nu, ftype),
+            "E0": jnp.asarray(float(parameters["E0"])),
+            "E1": jnp.asarray(float(parameters["E1"])),
+            "tau": jnp.asarray(float(parameters["tau"])),
+            "nu": jnp.asarray(nu),
         }
 
     @property

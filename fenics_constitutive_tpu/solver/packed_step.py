@@ -131,6 +131,12 @@ def make_packed_step(
     degenerating the cycle — CG hit its iteration cap. The elastic hierarchy
     with build-time moduli is the robust choice; see MultigridPreconditioner
     .prepared for the equivalent warning about true-tangent smoothing.)
+
+    (High-precision residual assembly for the f32 P2 stall was tried and
+    measured useless: with residuals accumulated and measured in f64, Newton
+    still stalls at the same ~1e-2 relative level — the floor is in the f32
+    KRYLOV solve (the correction accuracy), not the residual accumulation.
+    Tight-tolerance P2 solves should enable x64; see docs/performance.md.)
     """
     ndofs = geos[0].ndofs
     constraint = geos[0].constraint

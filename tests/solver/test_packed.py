@@ -275,3 +275,54 @@ def test_lattice_engine_matches_packed_general_path():
 
     g_pk = np.asarray(packed_grad(u, pk))
     np.testing.assert_allclose(g_lat, g_pk, rtol=1e-12, atol=1e-15)
+
+
+def test_f32_problem_stays_f32_under_x64():
+    """Model parameters are WEAK-typed scalars: an f32 problem in this
+    x64-enabled session must not promote to f64 anywhere in the step.
+
+    Regression: strongly-typed default-dtype (f64) parameters silently
+    promoted the constitutive kernels to f64 and broke the f32 CG
+    while_loop carry ("carry input and carry output must have equal types")
+    on the P2 lattice engine."""
+    import jax
+
+    mesh = unit_cube_mesh(2, 2, 2, "hex")
+    V = FunctionSpace(mesh, 2, 3)  # P2 -> lattice engine
+    law = VonMises3D(
+        {"p_ka": 175000.0, "p_mu": 80769.0, "p_y0": 1200.0,
+         "p_y00": 2500.0, "p_w": 200.0}
+    )
+    assert all(v.weak_type for v in law.params.values())
+
+    def close(axis, v):
+        return lambda x: np.isclose(x[:, axis], v)
+
+    bcs = [
+        DirichletBC(V.locate_dofs_geometrical(close(0, 0.0), component=0), 0.0),
+        DirichletBC(V.locate_dofs_geometrical(close(0, 1.0), component=0), 1e-4),
+    ]
+    geos, models, state = build_packed_problem(
+        V, law, q_degree=4, dtype=jnp.float32
+    )
+    assert state.u.dtype == jnp.float32
+
+    eps = geos[0].strain(state.u)
+    s, tg, h = models[0].evaluate_packed(
+        0.0, 1.0, eps, state.stress[0], state.histories[0]
+    )
+    assert s.dtype == jnp.float32
+    assert tg.beta.dtype == jnp.float32
+
+    bc_dofs, bc_vals = combine_bcs(bcs)
+    step = make_packed_step(geos, max_newton=3, cg_rtol=1e-6, cg_maxiter=200)
+    st2, stats = jax.jit(
+        lambda s_: step(
+            models, s_, jnp.asarray(bc_dofs),
+            jnp.asarray(bc_vals, jnp.float32),
+            jnp.zeros(V.ndofs, jnp.float32), jnp.asarray(1.0, jnp.float32),
+        )
+    )(state)
+    assert st2.u.dtype == jnp.float32
+    assert st2.stress[0].dtype == jnp.float32
+    assert np.isfinite(float(stats["r_norm"]))
