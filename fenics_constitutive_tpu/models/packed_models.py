@@ -59,13 +59,16 @@ def _vonmises_evaluate_packed(self, t, dt, eps, stress, history):
     safe = jnp.where(sigtrn > 0.0, sigtrn, 1.0)
     xn = jnp.where(plastic, sigtr / safe, 0.0)
 
-    def f(x):
-        return sigtrn - 2.0 * mu * x - _SQ23 * hardening(alpha + _SQ23 * x)
+    def fdf(x):
+        # f and f' share the one exp evaluation (the loop's only
+        # transcendental — the inner Newton is bandwidth/VPU-bound)
+        e = jnp.exp(-w * (alpha + _SQ23 * x))
+        fx = sigtrn - 2.0 * mu * x - _SQ23 * (y0 + (y00 - y0) * (1.0 - e))
+        dfx = -2.0 * mu - (2.0 / 3.0) * (y00 - y0) * w * e
+        return fx, dfx
 
     def df(x):
-        return -2.0 * mu - (2.0 / 3.0) * (y00 - y0) * w * jnp.exp(
-            -w * (alpha + _SQ23 * x)
-        )
+        return fdf(x)[1]
 
     one = jnp.ones_like(sigtrn)
 
@@ -74,29 +77,38 @@ def _vonmises_evaluate_packed(self, t, dt, eps, stress, history):
     tol_abs = jnp.maximum(self.newton_tol, 8.0 * eps_m * (y0 + sigtrn))
     tol_rel = max(self.newton_rtol, 8.0 * eps_m)
 
-    def active(state):
-        g_prev, g, xr, it = state
-        return plastic & (jnp.abs(xr) > tol_abs) & (
-            jnp.abs(g - g_prev) > tol_rel * jnp.abs(g)
-        )
-
     # f32 safeguard (see models/mises.py): don't let roundoff-oscillating QPs
     # pin the batch at the 100-iteration cap
     max_it = self.newton_max_iter if eps_m < 1e-10 else min(self.newton_max_iter, 32)
 
+    # the active mask is CARRIED in the loop state (computed once per
+    # iteration instead of twice — lax.while_loop evaluates cond AND body):
+    # act_{k+1} = act_k & not-converged(g_{k+1}, g_k, xr_{k+1}); convergence
+    # is monotone (inactive lanes keep stale values and stay inactive), so
+    # this matches recomputing the criterion from the carried triple.
+    act0 = plastic & (1.0 > tol_abs)  # == criterion on the (1, 0, 1) init
+
     def cond(state):
-        return jnp.any(active(state)) & (state[3] <= max_it)
+        g_prev, g, xr, it, act = state
+        return jnp.any(act) & (it <= max_it)
 
     def body(state):
-        g_prev, g, xr, it = state
-        act = active(state)
+        g_prev, g, xr, it, act = state
         g0 = jnp.where(act, g, g_prev)
-        xr_new = f(g0)
-        g_new = g0 - xr_new / df(g0)
-        return (g0, jnp.where(act, g_new, g), jnp.where(act, xr_new, xr), it + 1)
+        xr_new, dfv = fdf(g0)
+        g_new = g0 - xr_new / dfv
+        g_out = jnp.where(act, g_new, g)
+        xr_out = jnp.where(act, xr_new, xr)
+        act_new = (
+            act
+            & (jnp.abs(xr_out) > tol_abs)
+            & (jnp.abs(g_out - g0) > tol_rel * jnp.abs(g_out))
+        )
+        return (g0, g_out, xr_out, it + 1, act_new)
 
-    _, gamma, _, _ = jax.lax.while_loop(
-        cond, body, (one, jnp.zeros_like(sigtrn), one, jnp.asarray(0, jnp.int32))
+    _, gamma, _, _, _ = jax.lax.while_loop(
+        cond, body,
+        (one, jnp.zeros_like(sigtrn), one, jnp.asarray(0, jnp.int32), act0),
     )
     gamma = jnp.where(plastic, gamma, 0.0)
 

@@ -249,10 +249,17 @@ class MultigridPreconditioner:
             sigma = theta / delta
 
             def smooth(x, b_, iters):
+                # x=None means "start from zero": the initial residual is b_
+                # and the A(x) apply is skipped (one operator apply saved per
+                # level per cycle — pre-smoothing always starts from zero)
                 if iters <= 0:
-                    return x
+                    return jnp.zeros_like(b_) if x is None else x
                 rho = 1.0 / sigma
-                r = jnp.where(free, b_ - A(x), 0.0)
+                if x is None:
+                    x = jnp.zeros_like(b_)
+                    r = jnp.where(free, b_, 0.0)
+                else:
+                    r = jnp.where(free, b_ - A(x), 0.0)
                 d = jnp.where(free, inv_d_raw * r / theta, 0.0)
                 for _ in range(iters - 1):
                     x = x + d
@@ -265,9 +272,17 @@ class MultigridPreconditioner:
                 return x + d
         else:
             def smooth(x, b_, iters):
-                def body(i, x_):
-                    return x_ + jnp.where(free, inv_d * (b_ - A(x_)), 0.0)
-                return jax.lax.fori_loop(0, iters, body, x)
+                # x=None = zero start: first sweep is x1 = omega D^-1 b (no
+                # operator apply). Statically unrolled (iters is a small host
+                # constant) so XLA sees the simplification.
+                if iters <= 0:
+                    return jnp.zeros_like(b_) if x is None else x
+                if x is None:
+                    x = jnp.where(free, inv_d * b_, 0.0)
+                    iters = iters - 1
+                for _ in range(iters):
+                    x = x + jnp.where(free, inv_d * (b_ - A(x)), 0.0)
+                return x
 
         if lvl == self.n_levels - 1:
             if self.coarse_inv is not None:
@@ -278,12 +293,12 @@ class MultigridPreconditioner:
                 return jnp.where(
                     free, (self.coarse_inv.astype(b.dtype) @ b) * scale, 0.0
                 )
-            return smooth(jnp.zeros_like(b), b, self.coarse_iters)
+            return smooth(None, b, self.coarse_iters)
 
         nu = self.nu if lvl == 0 else (
             self.nu if self.nu_coarse is None else self.nu_coarse
         )
-        x = smooth(jnp.zeros_like(b), b, nu)
+        x = smooth(None, b, nu)
         r = jnp.where(free, b - A(x), 0.0)
         xc = self.vcycle(lvl + 1, self.restrict(r, lvl))
         x = x + jnp.where(free, self.prolong(xc, lvl), 0.0)

@@ -244,7 +244,7 @@ def make_packed_step(
             maxiter=cg_maxiter, **cg_opts,
         )
 
-    def step(models, state: PackedState, bc_dofs, bc_vals, f_ext, dt):
+    def step_generic(models, state: PackedState, bc_dofs, bc_vals, f_ext, dt):
         free = jnp.ones(ndofs, bool).at[bc_dofs].set(False)
         u0 = state.u.at[bc_dofs].set(bc_vals)
 
@@ -281,4 +281,102 @@ def make_packed_step(
         }
         return new_state, stats
 
-    return step
+    if not grid_major:
+        return step_generic
+
+    # -- grid-major step (single-law structured/lattice engines) --------------
+    # The whole Newton loop runs on GRID-MAJOR dof vectors: strain/residual
+    # lose their per-call node<->grid transposes (6 per step -> 2 at the
+    # boundary), and the CG solve consumes/produces grid-major directly.
+    # Node-major dof index n*vs+j <-> grid-major index j*M+n (a host-free
+    # index transform applied to the bc dof array).
+    geo = geos[0]
+    M, vs = geo.M, geo.vs
+
+    def eval_assemble_gm(model, u_gm, u_prev_gm, stress, history, t, f_ext_gm, dt):
+        eps = geo.strain_gm(u_gm - u_prev_gm)
+        s_new, tg, h_new = model.evaluate_packed(t, dt, eps, stress, history)
+        r = geo.residual_gm(s_new) - f_ext_gm
+        return r, s_new, tg, h_new
+
+    def solve_gm(tg, r_gm, free_gm):
+        r_gm = jnp.where(free_gm, r_gm, 0.0)
+        if pallas_mv is not None:
+            def matvec(v):
+                vm = jnp.where(free_gm, v, 0.0)
+                return jnp.where(free_gm, pallas_mv(vm, tg), v)
+        else:
+            def matvec(v):
+                vm = jnp.where(free_gm, v, 0.0)
+                return jnp.where(free_gm, geo.matvec_gm(vm, tg), v)
+
+        if preconditioner is not None:
+            def precond(rr):
+                rm = jnp.where(free_gm, rr, 0.0)
+                if precond_dtype is not None:
+                    z = preconditioner(rm.astype(precond_dtype)).astype(rr.dtype)
+                else:
+                    z = preconditioner(rm)
+                return jnp.where(free_gm, z, rr)
+
+            return linear.cg_solve(
+                matvec, r_gm, rtol=cg_rtol, maxiter=cg_maxiter,
+                precond=precond, **cg_opts,
+            )
+        diag = jnp.where(free_gm, geo.jacobi_diag_gm(tg), 1.0)
+        return linear.cg_solve(
+            matvec, r_gm, diag, rtol=cg_rtol, maxiter=cg_maxiter, **cg_opts,
+        )
+
+    def step_gm(models, state: PackedState, bc_dofs, bc_vals, f_ext, dt):
+        model = models[0]
+        sig0, hist0 = state.stress[0], state.histories[0]
+        bc_gm = (bc_dofs % vs) * M + bc_dofs // vs
+        free_gm = jnp.ones(ndofs, bool).at[bc_gm].set(False)
+        u_prev_gm = geo.to_grid_major(state.u)
+        f_ext_gm = geo.to_grid_major(f_ext)
+        u0 = u_prev_gm.at[bc_gm].set(bc_vals)
+
+        def fnorm(r):
+            return jnp.linalg.norm(jnp.where(free_gm, r, 0.0))
+
+        r0, s0, tg0, h0 = eval_assemble_gm(
+            model, u0, u_prev_gm, sig0, hist0, state.t, f_ext_gm, dt
+        )
+        r0_norm = fnorm(r0)
+
+        def cond(carry):
+            u, it, r, *_ = carry
+            return (fnorm(r) > jnp.maximum(newton_atol, newton_rtol * r0_norm)) & (
+                it < max_newton
+            )
+
+        def body(carry):
+            u, it, r, s, tg, h, _ = carry
+            delta, cg_k = solve_gm(tg, r, free_gm)
+            u_new = u - delta
+            r2, s2, tg2, h2 = eval_assemble_gm(
+                model, u_new, u_prev_gm, sig0, hist0, state.t, f_ext_gm, dt
+            )
+            return (u_new, it + 1, r2, s2, tg2, h2, cg_k)
+
+        carry = (
+            u0, jnp.asarray(0, jnp.int32), r0, s0, tg0, h0,
+            jnp.asarray(0, jnp.int32),
+        )
+        u, niter, r_f, s_f, _, h_f, cg_k = jax.lax.while_loop(cond, body, carry)
+        new_state = PackedState(
+            u=geo.to_node_major(u),
+            stress=(s_f,),
+            histories=(h_f,),
+            t=state.t + dt,
+        )
+        stats = {
+            "newton_iters": niter,
+            "r_norm": fnorm(r_f),
+            "r0_norm": r0_norm,
+            "cg_iters_last": cg_k,
+        }
+        return new_state, stats
+
+    return step_gm
