@@ -62,7 +62,7 @@ def _coarse_len(L: int) -> int:
                  "mu", "kappa", "coarse_inv"],
     meta_fields=[
         "node_grids", "vs", "n_levels", "omega", "nu", "coarse_iters",
-        "fine_matvec", "smoother", "lmax", "nu_coarse", "kappa0",
+        "fine_matvec", "smoother", "lmax", "nu_coarse", "kappa0", "fused",
     ],
 )
 @dataclass(frozen=True)
@@ -107,15 +107,22 @@ class MultigridPreconditioner:
     coarse_inv: jnp.ndarray = None
     #: build-time kappa (the common-scaling reference for coarse_inv)
     kappa0: float = 1.0
+    #: per-level fused Pallas smoothing chains (build_multigrid
+    #: fused_smoothing=True): dicts with "pre"/"post"/"coarse" appliers, or
+    #: None. Baked at the BUILD-TIME moduli — with_moduli drops them.
+    fused: tuple = None
 
     def with_moduli(self, mu, kappa):
         """New preconditioner with updated (traced) effective moduli — e.g.
         mu_eff = mean(beta)/2 of the current consistent tangent, so the
-        elastic hierarchy stays spectrally matched through plastic softening."""
+        elastic hierarchy stays spectrally matched through plastic softening.
+
+        Drops any fused Pallas smoothing chains (their element matrices are
+        baked at build-time moduli); the XLA chain tracks the new moduli."""
         import dataclasses
 
         return dataclasses.replace(
-            self, mu=jnp.asarray(mu), kappa=jnp.asarray(kappa)
+            self, mu=jnp.asarray(mu), kappa=jnp.asarray(kappa), fused=None
         )
 
     def _diag(self, lvl, dtype):
@@ -211,6 +218,23 @@ class MultigridPreconditioner:
         free = self.frees[lvl]
         inv_d = self.omega / diag
         b = jnp.where(free, b, 0.0)
+
+        # fused Pallas smoothing chains (constant-coefficient levels only;
+        # the true-tangent fine level and fine_matvec injection fall back)
+        fused = None
+        if self.fused is not None and tg is not fine_tangent and not (
+            lvl == 0 and self.fine_matvec is not None
+        ):
+            fused = self.fused[lvl]
+        if fused is not None:
+            if lvl == self.n_levels - 1:
+                if self.coarse_inv is None:
+                    return fused["coarse"](b)
+            else:
+                x, r = fused["pre"](b)
+                xc = self.vcycle(lvl + 1, self.restrict(r, lvl))
+                x = x + jnp.where(free, self.prolong(xc, lvl), 0.0)
+                return fused["post"](x, b)
         if lvl == 0 and self.fine_matvec is not None:
             apply_op = lambda v: self.fine_matvec(v, tg)
         elif tg is not fine_tangent and hasattr(geo, "elastic_matvec_gm"):
@@ -452,6 +476,7 @@ def build_multigrid(
     smoother: str = "jacobi",
     nu_coarse: int = None,
     coarse_direct: bool = False,
+    fused_smoothing: bool = False,
 ) -> MultigridPreconditioner:
     """Build the elastic V-cycle hierarchy below a fine StructuredGeometry.
 
@@ -576,6 +601,50 @@ def build_multigrid(
             np.linalg.inv(np.asarray(Amat, np.float64)), dtype
         )
 
+    fused = None
+    if fused_smoothing:
+        # whole smoothing chains (sweeps + residual) as single VMEM-resident
+        # Pallas kernels per level — see ops/pallas_smoother.py. Constant
+        # build-time moduli are baked into the element matrices.
+        assert smoother == "jacobi", "fused smoothing implements the Jacobi chain"
+        assert fine_matvec is None, "fused smoothing replaces the fine apply"
+        from ..ops.pallas_smoother import build_fused_smoother
+
+        beta0 = 2.0 * float(mu)
+        ka0 = float(kappa)
+        entries = []
+        for lvl, g in enumerate(geos):
+            ke = beta0 * np.asarray(g.KE_I, np.float64) + (
+                ka0 - beta0 / 3.0
+            ) * np.asarray(g.KE_V, np.float64)
+            d = ka0 * diag_kappa[lvl] + beta0 * diag_beta[lvl]
+            inv_d = jnp.where(frees[lvl], omega / d, 0.0).astype(dtype)
+            lvl_nu = nu if (lvl == 0 or nu_coarse is None) else nu_coarse
+            mk = partial(
+                build_fused_smoother, g, ke, inv_d, np.asarray(g.mask)
+            )
+            if lvl == len(geos) - 1:
+                entries.append(
+                    {
+                        "coarse": mk(
+                            nu=coarse_iters, zero_start=True,
+                            emit_residual=False,
+                        )
+                    }
+                )
+            else:
+                entries.append(
+                    {
+                        "pre": mk(
+                            nu=lvl_nu, zero_start=True, emit_residual=True
+                        ),
+                        "post": mk(
+                            nu=lvl_nu, zero_start=False, emit_residual=False
+                        ),
+                    }
+                )
+        fused = tuple(entries)
+
     return MultigridPreconditioner(
         geos=tuple(geos),
         diag_kappa=diag_kappa,
@@ -596,4 +665,5 @@ def build_multigrid(
         nu_coarse=nu_coarse,
         coarse_inv=coarse_inv,
         kappa0=float(kappa),
+        fused=fused,
     )
