@@ -107,6 +107,7 @@ def make_packed_step(
     cg_reduce_dtype=None,
     precond_dtype=None,
     cg_fixed_iters: int | None = None,
+    eval_impl: str = "conv",
 ):
     """Build ``step(models, state, bc_dofs, bc_vals, f_ext, dt) -> (state', stats)``.
 
@@ -298,6 +299,35 @@ def make_packed_step(
         s_new, tg, h_new = model.evaluate_packed(t, dt, eps, stress, history)
         r = geo.residual_gm(s_new) - f_ext_gm
         return r, s_new, tg, h_new
+
+    if eval_impl == "pallas":
+        # fused strain -> radial return -> weighted divergence kernel
+        # (VonMises3D on the degree-1 structured engine; the corner
+        # gather/scatter shifts stay at the XLA level)
+        from ..models.mises import VonMises3D
+        from ..ops.packed import IsotropicTangent
+        from ..ops.pallas_eval import build_pallas_eval
+
+        assert len(geos) == 1 and hasattr(geo, "offsets"), (
+            "pallas eval needs the single-law degree-1 structured path"
+        )
+        _fused_cache = {}
+
+        def eval_assemble_gm(model, u_gm, u_prev_gm, stress, history, t,
+                             f_ext_gm, dt):
+            del t, dt  # VonMises3D is rate-independent
+            assert isinstance(model, VonMises3D)
+            if id(model) not in _fused_cache:
+                _fused_cache[id(model)] = build_pallas_eval(geo, model)
+            F, s_new, (beta, gmm, nf), h_new = _fused_cache[id(model)](
+                u_gm - u_prev_gm, stress, history
+            )
+            tg = IsotropicTangent(
+                kappa=jnp.asarray(model.params["p_ka"], F.dtype),
+                beta=beta, gamma=gmm, n=nf,
+            )
+            r = geo._scatter_corners(F).reshape(-1) - f_ext_gm
+            return r, s_new, tg, h_new
 
     def solve_gm(tg, r_gm, free_gm):
         r_gm = jnp.where(free_gm, r_gm, 0.0)

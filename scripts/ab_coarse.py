@@ -1,0 +1,118 @@
+"""A/B coarse-side/omega trims at the bench state (nu=3 baseline 34.6 ms)."""
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fenics_constitutive_tpu.fem import DirichletBC, FunctionSpace, unit_cube_mesh
+from fenics_constitutive_tpu.fem.bcs import combine_bcs
+from fenics_constitutive_tpu.models import VonMises3D
+from fenics_constitutive_tpu.solver.multigrid import build_multigrid
+from fenics_constitutive_tpu.solver.packed_step import (
+    build_packed_problem,
+    make_packed_step,
+)
+from fenics_constitutive_tpu.models import packed_models  # noqa: F401
+
+MAT = {"p_ka": 175000.0, "p_mu": 80769.0, "p_y0": 1200.0, "p_y00": 2500.0, "p_w": 200.0}
+
+
+def main():
+    n = 50
+    mesh = unit_cube_mesh(n, n, n, "hex")
+    V = FunctionSpace(mesh, 1, 3)
+
+    def close(axis, v):
+        return lambda x: np.isclose(x[:, axis], v)
+
+    bcs = [
+        DirichletBC(V.locate_dofs_geometrical(close(0, 0.0), component=0), 0.0),
+        DirichletBC(V.locate_dofs_geometrical(close(0, 1.0), component=0), 0.004),
+        DirichletBC(V.locate_dofs_geometrical(close(1, 0.0), component=1), 0.0),
+        DirichletBC(V.locate_dofs_geometrical(close(2, 0.0), component=2), 0.0),
+    ]
+    law = VonMises3D(MAT)
+    geos, models, state = build_packed_problem(V, law, 2)
+    geo = geos[0]
+    dtype = state.u.dtype
+    bc_dofs, bc_vals = combine_bcs(bcs)
+    bc_dofs_j = jnp.asarray(bc_dofs)
+    bc_vals_j = jnp.asarray(bc_vals, dtype)
+    f_ext = jnp.zeros(V.ndofs, dtype)
+    dt = jnp.asarray(1.0, dtype)
+    free0 = jnp.ones(V.ndofs, bool).at[bc_dofs_j].set(False)
+
+    mg0 = build_multigrid(geo, MAT["p_mu"], MAT["p_ka"], free0)
+    step0 = make_packed_step(
+        geos, max_newton=1, newton_rtol=0.0, newton_atol=0.0,
+        cg_rtol=1e-5, cg_maxiter=400, preconditioner=mg0,
+    )
+    jitted0 = jax.jit(
+        lambda st, s: step0(models, st, bc_dofs_j, bc_vals_j * s, f_ext, dt)
+    )
+    st = state
+    for k in (0.5, 1.0, 1.5, 2.0):
+        st, stats = jitted0(st, jnp.asarray(k, dtype))
+    st = jax.block_until_ready(st)
+    print("state ready", flush=True)
+
+    configs = [
+        ("nu=3 nuc=2 f16", dict(nu=3, nu_coarse=2), 16),
+        ("nu=3 direct f16", dict(nu=3, coarse_direct=True), 16),
+        ("nu=3 nuc=2 direct f16",
+         dict(nu=3, nu_coarse=2, coarse_direct=True), 16),
+        ("nu=3 omega=.8 f16", dict(nu=3, omega=0.8), 16),
+        ("nu=2 omega=.8 f20", dict(omega=0.8), 20),
+    ]
+
+    for name, kw, fk in configs:
+        mg = build_multigrid(geo, MAT["p_mu"], MAT["p_ka"], free0, **kw)
+        stepA = make_packed_step(
+            geos, max_newton=1, newton_rtol=0.0, newton_atol=0.0,
+            cg_rtol=1e-5, cg_maxiter=400, preconditioner=mg,
+        )
+        jA = jax.jit(
+            lambda st_, s: stepA(models, st_, bc_dofs_j, bc_vals_j * s, f_ext, dt)
+        )
+        _, sa = jax.block_until_ready(jA(st, jnp.asarray(2.0, dtype)))
+        stepF = make_packed_step(
+            geos, max_newton=1, newton_rtol=0.0, newton_atol=0.0,
+            cg_rtol=1e-5, cg_maxiter=400, preconditioner=mg, cg_fixed_iters=fk,
+        )
+        jF = jax.jit(
+            lambda st_, s: stepF(models, st_, bc_dofs_j, bc_vals_j * s, f_ext, dt)
+        )
+        _, sf = jax.block_until_ready(jF(st, jnp.asarray(2.0, dtype)))
+
+        def step_body(carry, stepF=stepF):
+            stt, s = carry
+            s2, _ = stepF(models, stt, bc_dofs_j, bc_vals_j * s, f_ext, dt)
+            return (s2, s * 1.000001)
+
+        def scanned(c):
+            return jax.lax.scan(
+                lambda cc, _: (step_body(cc), None), c, None, length=12
+            )[0]
+
+        f = jax.jit(scanned)
+        # vary the load scale EVERY call — the tunnel memoizes byte-identical
+        # dispatches (a repeat would measure ~0 ms)
+        jax.block_until_ready(f((st, jnp.asarray(2.0, dtype))))
+        best = float("inf")
+        for j in range(1, 5):
+            init = (st, jnp.asarray(2.0 + 1e-5 * j, dtype))
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(init))
+            best = min(best, (time.perf_counter() - t0) / 12 * 1000)
+        print(
+            f"{name:24s} adaptive cg={int(sa['cg_iters_last']):3d} "
+            f"r={float(sa['r_norm']):8.4f} | fixed{fk} r={float(sf['r_norm']):8.4f} "
+            f"| step={best:7.2f} ms",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
