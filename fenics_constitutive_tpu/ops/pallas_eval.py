@@ -71,8 +71,10 @@ def build_pallas_eval(geo: StructuredGeometry, model, tm: int = 2048):
     MP = ((M + TM - 1) // TM) * TM
     n_blocks = MP // TM
 
-    KEPS_c = jnp.asarray(geo.KEPS_c, dtype)  # [nch, ncn]
-    KDIV_c = jnp.asarray(geo.KDIV_c, dtype)  # [ncn, nch]
+    # geometry matrices are concrete arrays built outside any trace;
+    # referencing them directly is safe (no conversion created here)
+    KEPS_c = geo.KEPS_c  # [nch, ncn]
+    KDIV_c = geo.KDIV_c  # [ncn, nch]
 
     eps_m = float(jnp.finfo(dtype).eps)
     newton_tol = float(model.newton_tol)
@@ -121,24 +123,29 @@ def build_pallas_eval(geo: StructuredGeometry, model, tm: int = 2048):
             # fixed-trip Newton with per-lane masking (same update rule and
             # trip cap as packed_models._vonmises_evaluate_packed; a lane
             # that converges stops changing, so the fixed trip count equals
-            # the batch-synchronized while_loop's capped result)
+            # the batch-synchronized while_loop's capped result). The active
+            # mask is carried as f32 0/1 — Mosaic cannot legalize i1 vector
+            # loop carries in scf.for.
             one = jnp.ones_like(sigtrn)
-            act0 = plastic & (1.0 > tol_abs)
+            act0 = jnp.where(plastic & (1.0 > tol_abs), one, 0.0 * one)
 
             def nbody(_, carry):
                 g_prev, g, act = carry
-                g0 = jnp.where(act, g, g_prev)
+                act_b = act > 0.5  # local i1 is fine; only the carry is f32
+                g0 = jnp.where(act_b, g, g_prev)
                 ex = jnp.exp(-w * (alpha + _SQ23 * g0))
                 fx = sigtrn - 2.0 * mu * g0 - _SQ23 * (
                     y0 + (y00 - y0) * (1.0 - ex)
                 )
                 dfx = -2.0 * mu - (2.0 / 3.0) * (y00 - y0) * w * ex
                 g_new = g0 - fx / dfx
-                g_out = jnp.where(act, g_new, g)
-                act_new = (
-                    act
+                g_out = jnp.where(act_b, g_new, g)
+                act_new = jnp.where(
+                    act_b
                     & (jnp.abs(fx) > tol_abs)
-                    & (jnp.abs(g_out - g0) > newton_rtol * jnp.abs(g_out))
+                    & (jnp.abs(g_out - g0) > newton_rtol * jnp.abs(g_out)),
+                    one,
+                    0.0 * one,
                 )
                 return (g0, g_out, act_new)
 
@@ -211,7 +218,13 @@ def build_pallas_eval(geo: StructuredGeometry, model, tm: int = 2048):
         interpret=jax.default_backend() != "tpu",
     )
 
-    mask_p = _pad_to(geo.mask.astype(dtype)[None], MP)
+    # HOST-side constant: build_pallas_eval may run inside a jit trace (lazy
+    # build on first step call), so nothing jnp-valued may be cached in this
+    # closure — a value created under one trace leaks into the next. Keep the
+    # padded mask as numpy and convert freshly per call.
+    mask_p_np = np.pad(
+        np.asarray(geo.mask, np.float64)[None], ((0, 0), (0, MP - M))
+    )
 
     def eval_assemble(du_gm, stress, history):
         """stress [s, Q, M], history {eps_n [s,Q,M], alpha [1,Q,M]}."""
@@ -230,7 +243,8 @@ def build_pallas_eval(geo: StructuredGeometry, model, tm: int = 2048):
         epsn = _pad_to(history["eps_n"].reshape(nch, M).astype(dtype), MP)
         alpha = _pad_to(history["alpha"].reshape(Q, M).astype(dtype), MP)
         F, s_new, epsn_new, alpha_new, beta, gmm, nfield = call(
-            params, KEPS_c, KDIV_c, U, sig, epsn, alpha, mask_p
+            params, KEPS_c, KDIV_c, U, sig, epsn, alpha,
+            jnp.asarray(mask_p_np, dtype),
         )
         s_new = s_new[:, :M].reshape(sdim, Q, M)
         hist = {

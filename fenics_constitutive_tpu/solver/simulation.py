@@ -46,6 +46,9 @@ class PackedSimulation:
             the 3D structured hot path).
         max_subdivisions: retry a failed load step as up to 2^k substeps with
             interpolated BCs/dt (0 = off; see solve()).
+        eval_impl: "conv" (XLA) or "pallas" (fused strain->return-map->
+            divergence Mosaic kernel; VonMises3D on the degree-1 structured
+            engine only — see ops/pallas_eval.py).
         newton/cg options are forwarded to make_packed_step.
     """
 
@@ -69,6 +72,8 @@ class PackedSimulation:
         cg_reduce_dtype=None,
         max_subdivisions: int = 0,
         dtype=None,
+        mg_options: dict | None = None,
+        eval_impl: str = "conv",
     ):
         self.space = space
         self.bcs = bcs
@@ -100,6 +105,17 @@ class PackedSimulation:
             )
             bc_dofs, _ = combine_bcs(bcs)
             free = jnp.ones(space.ndofs, bool).at[jnp.asarray(bc_dofs)].set(False)
+            # tuned V-cycle defaults (measured at the 1M-QP bench state,
+            # scripts/ab_nu_fixed.py / ab_coarse.py: V(3,3) with lighter
+            # coarse smoothing + direct coarsest solve beats V(2,2) on
+            # wall-clock); override any of these via mg_options
+            if mg_options is None:
+                mg_options = {}
+            if preconditioner == "vcycle":
+                mg_options = {
+                    "nu": 3, "nu_coarse": 2, "coarse_direct": True,
+                    **mg_options,
+                }
             if structured and getattr(geo, "degree", 1) >= 2:
                 # lattice engine: precondition with the refined-P1 hierarchy
                 # on the SAME dof lattice (identical node ordering, so the
@@ -118,7 +134,7 @@ class PackedSimulation:
                 geo1 = build_structured_geometry(
                     V1, 2, geo.constraint, geo.KEPS_c.dtype
                 )
-                mg = build_multigrid(geo1, mu, kappa, free)
+                mg = build_multigrid(geo1, mu, kappa, free, **mg_options)
                 pc = {"bpx": mg.bpx, "vcycle": mg}[preconditioner]
             elif structured:
                 fine_mv = None
@@ -126,7 +142,9 @@ class PackedSimulation:
                     from ..ops.pallas_matvec import build_pallas_matvec
 
                     fine_mv = build_pallas_matvec(geo)
-                mg = build_multigrid(geo, mu, kappa, free, fine_matvec=fine_mv)
+                mg = build_multigrid(
+                    geo, mu, kappa, free, fine_matvec=fine_mv, **mg_options
+                )
                 pc = {"bpx": mg.bpx, "vcycle": mg}[preconditioner]
             elif (
                 space.degree == 2
@@ -140,6 +158,7 @@ class PackedSimulation:
                 pc = build_p2_node_preconditioner(
                     space, mu, kappa, free,
                     use_bpx=(preconditioner == "bpx"),
+                    **mg_options,
                 )
             else:
                 msg = "multilevel preconditioning needs a box mesh (P1 or P2)"
@@ -171,6 +190,7 @@ class PackedSimulation:
             matvec_impl=matvec_impl,
             cg_flexible=cg_flexible,
             cg_reduce_dtype=cg_reduce_dtype,
+            eval_impl=eval_impl,
         )
         self._max_newton = max_newton
         self._newton_rtol = newton_rtol
