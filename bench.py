@@ -79,7 +79,9 @@ def main() -> None:
     # folded elastic matmul. (The fused Pallas smoothing chains were measured
     # SLOWER here — Mosaic pays lane rotations for the misaligned corner
     # shifts that XLA's pad/slice fusion handles well; kept as an option.)
-    mg = build_multigrid(geos[0], 80769.0, 175000.0, free0, nu=3)
+    mg = build_multigrid(
+        geos[0], 80769.0, 175000.0, free0, nu=3, nu_coarse=2, coarse_direct=True
+    )
     # CG runs a fixed 16-iteration fori_loop (no per-iteration convergence
     # dot / while-loop sync): at the bench state the while-loop CG exits at
     # 18 iterations for rtol 1e-5, and the Newton-residual probes below
