@@ -276,3 +276,30 @@ def test_substepping_restores_state_on_total_failure():
     assert not converged
     np.testing.assert_array_equal(np.asarray(sim.state.u), u_before)
     assert sim.time == t_before
+
+
+def test_eval_impl_pallas_and_mg_options():
+    """eval_impl='pallas' (interpret mode off-TPU) and mg_options overrides
+    plumb through PackedSimulation to the same solution as the defaults."""
+    V, bcs, bc_move = setup()
+    sim_p = PackedSimulation(
+        VonMises3D(MAT), V, bcs, 2, preconditioner="vcycle",
+        eval_impl="pallas",
+        mg_options={"nu": 2, "nu_coarse": 2, "coarse_direct": False},
+        newton_rtol=1e-12, newton_atol=1e-10, cg_rtol=1e-12,
+    )
+    sim_c = PackedSimulation(
+        VonMises3D(MAT), V, bcs, 2, preconditioner="vcycle",
+        newton_rtol=1e-12, newton_atol=1e-10, cg_rtol=1e-12,
+    )
+    for k in (1, 2):
+        bc_move.value = 0.004 * k
+        _, conv_p = sim_p.solve()
+        _, conv_c = sim_c.solve()
+        assert conv_p and conv_c
+    np.testing.assert_allclose(
+        np.asarray(sim_p.u), np.asarray(sim_c.u), rtol=1e-8, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        sim_p.stress, sim_c.stress, rtol=1e-6, atol=1e-8
+    )
