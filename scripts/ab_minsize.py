@@ -1,8 +1,7 @@
-"""A/B cg_fixed_iters under the tuned V(3,3)+direct-coarse cycle.
+"""A/B hierarchy depth: truncate coarse levels, direct-solve a larger coarsest.
 
-The bench's "converged" claim requires the fixed-count solve to reach the
-same Newton residual as the adaptive rtol-1e-5 CG; prints both so the floor
-is visible.
+Small coarse levels are launch-latency-bound on TPU, not FLOP-bound; a dense
+inverse applied as one MXU matmul may beat two more smoothed levels.
 """
 
 import time
@@ -48,13 +47,13 @@ def main():
     f_ext = jnp.zeros(V.ndofs, dtype)
     dt = jnp.asarray(1.0, dtype)
     free0 = jnp.ones(V.ndofs, bool).at[bc_dofs_j].set(False)
-    mg = build_multigrid(
+
+    mg0 = build_multigrid(
         geo, MAT["p_mu"], MAT["p_ka"], free0, nu=3, nu_coarse=2, coarse_direct=True
     )
-
     step0 = make_packed_step(
         geos, max_newton=1, newton_rtol=0.0, newton_atol=0.0,
-        cg_rtol=1e-5, cg_maxiter=400, preconditioner=mg,
+        cg_rtol=1e-5, cg_maxiter=400, preconditioner=mg0, cg_fixed_iters=12,
     )
     jitted0 = jax.jit(
         lambda st, s: step0(models, st, bc_dofs_j, bc_vals_j * s, f_ext, dt)
@@ -63,16 +62,16 @@ def main():
     for k in (0.5, 1.0, 1.5, 2.0):
         st, stats = jitted0(st, jnp.asarray(k, dtype))
     st = jax.block_until_ready(st)
-    sa = stats
-    print(
-        f"adaptive: cg={int(sa['cg_iters_last'])} r={float(sa['r_norm']):.4f}",
-        flush=True,
-    )
+    print("state ready", flush=True)
 
-    for fk in (8, 10, 12):
+    for name, ms in [("minsize4", 4), ("minsize8", 8), ("minsize12", 12)]:
+        mg = build_multigrid(
+            geo, MAT["p_mu"], MAT["p_ka"], free0, nu=3, nu_coarse=2,
+            coarse_direct=True, min_size=ms,
+        )
         step = make_packed_step(
             geos, max_newton=1, newton_rtol=0.0, newton_atol=0.0,
-            cg_rtol=1e-5, cg_maxiter=400, preconditioner=mg, cg_fixed_iters=fk,
+            cg_rtol=1e-5, cg_maxiter=400, preconditioner=mg, cg_fixed_iters=12,
         )
         jF = jax.jit(
             lambda st_, s: step(models, st_, bc_dofs_j, bc_vals_j * s, f_ext, dt)
@@ -98,7 +97,8 @@ def main():
             jax.block_until_ready(f(init))
             best = min(best, (time.perf_counter() - t0) / 12 * 1000)
         print(
-            f"fixed{fk:2d}: r={float(sf['r_norm']):8.4f} | step={best:7.2f} ms",
+            f"{name:10s} levels={mg.n_levels} "
+            f"r={float(sf['r_norm']):8.4f} | step={best:7.2f} ms",
             flush=True,
         )
 
