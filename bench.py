@@ -107,21 +107,23 @@ def main() -> None:
         lambda st, scale: step(models, st, bc_dofs_j, bc_vals_j * scale, f_ext, dt)
     )
 
-    K_STEPS = 24  # steps per dispatch: production stepping runs many steps
+    K_STEPS = 48  # steps per dispatch: production stepping runs many steps
     # device-side per host round trip (PackedSimulation.solve_schedule is
     # exactly this pattern as a public API, and the reference's own tests
     # drive 100-step load paths, tests/models/test_plasticity.py:96); this
     # amortizes the tunnel's per-dispatch latency (measured 80-150 ms
-    # depending on session) the same way a real load-path run does
+    # depending on session) the same way a real load-path run does. The
+    # schedule compiles as one lax.scan (one step trace, K trips).
 
     def stepsK(st, scales):
-        probes = []
-        for i in range(K_STEPS):
+        def body(carry, scale):
             s_out, stats = step(
-                models, st, bc_dofs_j, bc_vals_j * scales[i], f_ext, dt
+                models, carry, bc_dofs_j, bc_vals_j * scale, f_ext, dt
             )
-            probes.append(stats["r_norm"])
-        return jnp.stack(probes), s_out
+            return s_out, stats["r_norm"]
+
+        s_out, probes = jax.lax.scan(body, st, scales)
+        return probes, s_out
 
     jittedK = jax.jit(stepsK)
 
