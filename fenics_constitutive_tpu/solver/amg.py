@@ -1,0 +1,417 @@
+"""Smoothed-aggregation AMG preconditioner for unstructured meshes.
+
+The reference delegates linear solves to PETSc, whose KSP/AMG runs on any
+mesh (dolfinx NewtonSolver, reference _solver.py:30-159). Our geometric
+multigrid (solver/multigrid.py) needs a box-structured grid; this module
+closes the unstructured gap the TPU way:
+
+- The hierarchy is built ONCE on host (numpy/scipy): assemble the constant-
+  coefficient ELASTIC operator (same elastic-hierarchy rationale as
+  multigrid.build_multigrid — true-tangent smoothing breaks CG under
+  softening), aggregate nodes greedily on the mesh graph, smooth the
+  tentative prolongation (classic smoothed aggregation, Vanek et al.), and
+  form Galerkin triple products A_{l+1} = P^T A_l P in CSR.
+- Each level is then frozen into fixed-width ELL arrays (row-padded
+  values/columns), so the device-side V-cycle is nothing but static-shape
+  gathers + multiplies + sums — jit/GSPMD-safe, no dynamic sparsity, no
+  host round trips inside the solve.
+
+Like the geometric V-cycle, the result is a linear, SPD-preserving callable
+``M(r) -> z`` in NODE-MAJOR dof ordering, pluggable into
+``make_packed_step(preconditioner=...)`` or used directly with
+``solver.linear.cg_solve``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import mandel
+from ..ops.mandel import Constraint
+
+__all__ = ["build_amg", "AmgPreconditioner"]
+
+
+# ---------------------------------------------------------------------------
+# host-side construction
+# ---------------------------------------------------------------------------
+
+
+def _moduli_to_E_nu(mu: float, kappa: float) -> tuple[float, float]:
+    E = 9.0 * kappa * mu / (3.0 * kappa + mu)
+    nu = (3.0 * kappa - 2.0 * mu) / (2.0 * (3.0 * kappa + mu))
+    return E, nu
+
+
+def _assemble_elastic_csr(space, q_degree: int, C_el: np.ndarray):
+    """CSR of the elastic operator K = sum_e B^T C B w|J| (host, chunked)."""
+    import scipy.sparse as sp
+
+    from ..fem.kinematics import precompute_geometry
+
+    geo = precompute_geometry(space, q_degree)
+    dN = np.asarray(geo.dN_dx, np.float64)  # [C, Q, n, g]
+    w = np.asarray(geo.w_detJ, np.float64)  # [C, Q]
+    M = np.asarray(
+        mandel._mandel_matrix_map(space_constraint(space)), np.float64
+    )  # [s, g, g]
+    vs = space.value_size
+    ncell, Q, n, _g = dN.shape
+    nd = n * vs
+    dofs = np.asarray(space.dofmap).reshape(ncell, nd)  # [C, n*vs]
+
+    rows_all, cols_all, vals_all = [], [], []
+    chunk = max(1, 20_000_000 // (Q * C_el.shape[0] * nd))
+    for c0 in range(0, ncell, chunk):
+        dNc = dN[c0 : c0 + chunk]
+        wc = w[c0 : c0 + chunk]
+        # B[c,q,s,(a j)] = M[s,i,j] dN[c,q,a,i]
+        B = np.einsum("sij,cqai->cqsaj", M, dNc)
+        B = B.reshape(B.shape[0], Q, C_el.shape[0], nd)
+        K = np.einsum("cq,cqsa,st,cqtb->cab", wc, B, C_el, B, optimize=True)
+        d = dofs[c0 : c0 + chunk]
+        rows_all.append(np.repeat(d, nd, axis=1).ravel())
+        cols_all.append(np.tile(d, (1, nd)).ravel())
+        vals_all.append(K.ravel())
+    A = sp.coo_matrix(
+        (np.concatenate(vals_all), (np.concatenate(rows_all), np.concatenate(cols_all))),
+        shape=(space.ndofs, space.ndofs),
+    ).tocsr()
+    A.sum_duplicates()
+    return A
+
+
+def space_constraint(space) -> Constraint:
+    """The stress/strain constraint implied by the space's dimensions."""
+    gdim = space.mesh.gdim
+    vs = space.value_size
+    if gdim == 3:
+        return Constraint.FULL
+    if gdim == 2:
+        return Constraint.PLANE_STRAIN  # elastic SPD surrogate; 2D precond
+    assert vs == 1
+    return Constraint.UNIAXIAL_STRESS
+
+
+def _eliminate_dirichlet(A, free: np.ndarray):
+    """D_f A D_f + I_c: constrained dofs become identity rows/cols."""
+    import scipy.sparse as sp
+
+    d = free.astype(np.float64)
+    Df = sp.diags(d)
+    return (Df @ A @ Df + sp.diags(1.0 - d)).tocsr()
+
+
+def _node_adjacency(A, vs: int):
+    """Node graph from the dof CSR's block sparsity (CSR [nn, nn] 0/1)."""
+    import scipy.sparse as sp
+
+    n_dof = A.shape[0]
+    nn = n_dof // vs
+    coo = A.tocoo()
+    keep = coo.data != 0.0
+    r = coo.row[keep] // vs
+    c = coo.col[keep] // vs
+    G = sp.coo_matrix((np.ones(len(r)), (r, c)), shape=(nn, nn)).tocsr()
+    G.sum_duplicates()
+    G.setdiag(0)
+    G.eliminate_zeros()
+    return G
+
+
+def _aggregate(G) -> np.ndarray:
+    """Greedy two-pass aggregation on a node graph. Returns agg id per node."""
+    nn = G.shape[0]
+    agg = np.full(nn, -1, np.int64)
+    indptr, indices = G.indptr, G.indices
+    n_agg = 0
+    # pass 1: seed aggregates from nodes whose neighborhood is untouched
+    for i in range(nn):
+        if agg[i] != -1:
+            continue
+        nbrs = indices[indptr[i] : indptr[i + 1]]
+        if (agg[nbrs] == -1).all():
+            agg[i] = n_agg
+            agg[nbrs] = n_agg
+            n_agg += 1
+    # pass 2: attach leftovers to the most-connected neighboring aggregate
+    for i in range(nn):
+        if agg[i] != -1:
+            continue
+        nbrs = indices[indptr[i] : indptr[i + 1]]
+        owned = agg[nbrs]
+        owned = owned[owned != -1]
+        if len(owned):
+            agg[i] = np.bincount(owned).argmax()
+        else:  # isolated node: own aggregate
+            agg[i] = n_agg
+            n_agg += 1
+    return agg
+
+
+def _rigid_body_modes(coords: np.ndarray, vs: int) -> np.ndarray:
+    """Near-nullspace of the elastic operator: translations + rotations.
+
+    [nn*vs, nb] with nb = 6 (3D), 3 (2D), 1 (1D) — the standard SA
+    nullspace for elasticity (what PETSc's GAMG takes via
+    MatSetNearNullSpace)."""
+    nn = coords.shape[0]
+    x = coords - coords.mean(axis=0)
+    if vs == 1:
+        return np.ones((nn, 1))
+    if vs == 2:
+        B = np.zeros((nn, 2, 3))
+        B[:, 0, 0] = 1.0
+        B[:, 1, 1] = 1.0
+        B[:, 0, 2] = -x[:, 1]
+        B[:, 1, 2] = x[:, 0]
+        return B.reshape(nn * 2, 3)
+    B = np.zeros((nn, 3, 6))
+    for j in range(3):
+        B[:, j, j] = 1.0
+    # rotations about z, x, y
+    B[:, 0, 3] = -x[:, 1]
+    B[:, 1, 3] = x[:, 0]
+    B[:, 1, 4] = -x[:, 2]
+    B[:, 2, 4] = x[:, 1]
+    B[:, 0, 5] = x[:, 2]
+    B[:, 2, 5] = -x[:, 0]
+    return B.reshape(nn * 3, 6)
+
+
+def _tentative_P(agg: np.ndarray, B: np.ndarray, bs: int):
+    """Nullspace-preserving tentative prolongation via per-aggregate QR.
+
+    ``B`` [nn*bs, nb] is the current level's near-nullspace (bs dofs per
+    node). Returns (P [nn*bs, n_agg*nb], B_coarse [n_agg*nb, nb]) with
+    P @ B_coarse = B restricted to each aggregate (exact nullspace
+    interpolation — the property that makes SA convergence mesh-size
+    independent)."""
+    import scipy.sparse as sp
+
+    nn = len(agg)
+    nb = B.shape[1]
+    n_agg = int(agg.max()) + 1
+    order = np.argsort(agg, kind="stable")
+    counts = np.bincount(agg, minlength=n_agg)
+    maxm = int(counts.max())
+    # padded member table [n_agg, maxm] of node ids (pad = -1)
+    members = np.full((n_agg, maxm), -1, np.int64)
+    pos = np.concatenate([np.arange(c) for c in counts])
+    members[agg[order], pos] = order
+    valid = members >= 0  # [n_agg, maxm]
+
+    Bn = B.reshape(nn, bs, nb)
+    T = np.where(
+        valid[:, :, None, None], Bn[np.clip(members, 0, None)], 0.0
+    ).reshape(n_agg, maxm * bs, nb)
+    Q, R = np.linalg.qr(T)  # batched reduced QR: Q [n_agg, maxm*bs, k<=nb]
+    k = Q.shape[2]
+    # drop numerically dead modes (all-constrained aggregates etc.)
+    diag = np.abs(R[:, np.arange(k), np.arange(k)])
+    dead = diag < 1e-12 * max(1.0, float(np.abs(R).max()))
+    Qm = np.where(dead[:, None, :], 0.0, Q)
+    Rm = np.where(dead[:, :, None], 0.0, R)
+    if k < nb:  # tiny aggregates: pad coarse block to nb
+        Qm = np.pad(Qm, ((0, 0), (0, 0), (0, nb - k)))
+        Rm = np.pad(Rm, ((0, 0), (0, nb - k), (0, 0)))
+
+    rows = (members[:, :, None] * bs + np.arange(bs)[None, None, :]).reshape(
+        n_agg, maxm * bs
+    )
+    cols = (
+        np.arange(n_agg)[:, None] * nb + np.arange(nb)[None, :]
+    )  # [n_agg, nb]
+    r_idx = np.broadcast_to(rows[:, :, None], Qm.shape)
+    c_idx = np.broadcast_to(cols[:, None, :], Qm.shape)
+    keep = np.broadcast_to(
+        valid[:, :, None].repeat(bs, axis=1).reshape(n_agg, maxm * bs, 1),
+        Qm.shape,
+    ) & (Qm != 0.0)
+    P = sp.coo_matrix(
+        (Qm[keep], (r_idx[keep], c_idx[keep])),
+        shape=(nn * bs, n_agg * nb),
+    ).tocsr()
+    return P, Rm.reshape(n_agg * nb, nb)
+
+
+def _rho_DinvA(A, n_iter: int = 12) -> float:
+    """Power-iteration estimate of rho(D^-1 A) (host)."""
+    d = A.diagonal()
+    d = np.where(d > 0, d, 1.0)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(A.shape[0])
+    lam = 1.0
+    for _ in range(n_iter):
+        x = (A @ x) / d
+        nrm = np.linalg.norm(x)
+        if nrm == 0:
+            return 2.0
+        lam = nrm
+        x /= nrm
+    return float(lam) * 1.05
+
+
+def _to_ell(A, dtype):
+    """CSR -> fixed-width ELL (vals [n, k], cols [n, k]); pads with 0@col 0."""
+    A = A.tocsr()
+    A.sum_duplicates()
+    A.eliminate_zeros()
+    n = A.shape[0]
+    nnz_row = np.diff(A.indptr)
+    k = max(1, int(nnz_row.max()))
+    vals = np.zeros((n, k))
+    cols = np.zeros((n, k), np.int32)
+    rows = np.repeat(np.arange(n), nnz_row)
+    pos = np.arange(len(A.data)) - A.indptr[rows]
+    vals[rows, pos] = A.data
+    cols[rows, pos] = A.indices
+    return jnp.asarray(vals, dtype), jnp.asarray(cols)
+
+
+def _ell_matvec(vals, cols, v):
+    return (vals * v[cols]).sum(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# device-side V-cycle
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True, eq=False)
+class AmgPreconditioner:
+    """Callable z = M(r): one V(nu,nu) cycle of the elastic SA hierarchy.
+
+    Levels hold ELL operators (A), transfers (P and R = P^T), inverse Jacobi
+    diagonals, and a dense inverse at the coarsest level. All arrays are
+    device constants closed over by the jitted solve.
+    """
+
+    A_ell: tuple  # per level (vals, cols)
+    P_ell: tuple  # per level below fine (vals, cols): coarse -> fine
+    R_ell: tuple  # per level below fine (vals, cols): fine -> coarse
+    dinv: tuple  # per level inverse (damped) Jacobi diagonal
+    coarse_inv: jnp.ndarray
+    omega: float
+    nu: int
+    n_levels: int
+
+    def _cycle(self, lvl: int, b):
+        if lvl == self.n_levels - 1:
+            return self.coarse_inv @ b
+        Av, Ac = self.A_ell[lvl]
+        di = self.dinv[lvl]
+        # zero-start pre-smoothing: first sweep is x = omega D^-1 b
+        x = self.omega * di * b
+        for _ in range(self.nu - 1):
+            x = x + self.omega * di * (b - _ell_matvec(Av, Ac, x))
+        r = b - _ell_matvec(Av, Ac, x)
+        Rv, Rc = self.R_ell[lvl]
+        bc = _ell_matvec(Rv, Rc, r)
+        xc = self._cycle(lvl + 1, bc)
+        Pv, Pc = self.P_ell[lvl]
+        x = x + _ell_matvec(Pv, Pc, xc)
+        for _ in range(self.nu):
+            x = x + self.omega * di * (b - _ell_matvec(Av, Ac, x))
+        return x
+
+    def __call__(self, r):
+        dt = self.coarse_inv.dtype  # single-level problems have no A_ell
+        return self._cycle(0, r.astype(dt)).astype(r.dtype)
+
+
+def build_amg(
+    space,
+    mu: float,
+    kappa: float,
+    free_mask,
+    *,
+    q_degree: int = 2,
+    omega: float = 0.6,
+    nu: int = 2,
+    max_coarse: int = 600,
+    max_levels: int = 12,
+    smooth_prolongation: bool = True,
+    dtype=None,
+) -> AmgPreconditioner:
+    """Build the smoothed-aggregation elastic hierarchy for ``space``.
+
+    Args:
+        space: displacement FunctionSpace on ANY mesh (tet/tri/hex/quad).
+        mu/kappa: elastic moduli of the hierarchy operator (same convention
+            as build_multigrid; estimate from the law's params).
+        free_mask: bool [ndofs], False at Dirichlet dofs.
+        smooth_prolongation: P = (I - 4/(3 rho) D^-1 A) P_tent (classic SA);
+            False keeps plain (unsmoothed) aggregation.
+    """
+    import scipy.sparse as sp
+
+    dtype = dtype or jnp.zeros(0).dtype
+    vs = space.value_size
+    E, nu_p = _moduli_to_E_nu(float(mu), float(kappa))
+    C_el = mandel.get_elastic_tangent(E, nu_p, space_constraint(space))
+    A0 = _assemble_elastic_csr(space, q_degree, np.asarray(C_el, np.float64))
+    free = np.asarray(free_mask, bool)
+    A0 = _eliminate_dirichlet(A0, free)
+
+    # near-nullspace: rigid body modes, zeroed at constrained dofs so coarse
+    # corrections never touch Dirichlet rows
+    B = _rigid_body_modes(np.asarray(space.dof_coords), vs)
+    B = B * free.astype(np.float64)[:, None]
+
+    A_levels = [A0]
+    P_levels: list = []
+    bs = vs  # dofs per "node" at the current level (nb on coarse levels)
+    while A_levels[-1].shape[0] > max_coarse and len(A_levels) < max_levels:
+        A = A_levels[-1]
+        G = _node_adjacency(A, bs)
+        agg = _aggregate(G)
+        P, B = _tentative_P(agg, B, bs)
+        bs = B.shape[1]
+        if P.shape[1] >= A.shape[0]:  # aggregation stalled
+            break
+        if smooth_prolongation:
+            d = A.diagonal()
+            d = np.where(d > 0, d, 1.0)
+            w_p = 4.0 / (3.0 * _rho_DinvA(A))
+            P = (P - sp.diags(w_p / d) @ (A @ P)).tocsr()
+        A_next = (P.T @ A @ P).tocsr()
+        A_next.sum_duplicates()
+        # dead coarse dofs (dropped QR modes) leave zero rows — pin them
+        dz = A_next.diagonal() == 0.0
+        if dz.any():
+            A_next = (A_next + sp.diags(dz.astype(np.float64))).tocsr()
+        A_levels.append(A_next)
+        P_levels.append(P)
+
+    n_coarse = A_levels[-1].shape[0]
+    if n_coarse > 20 * max_coarse:
+        msg = (
+            f"AMG coarsening stalled at {n_coarse} dofs; dense coarse solve "
+            "would be too large — check the mesh connectivity"
+        )
+        raise RuntimeError(msg)
+    coarse_inv = jnp.asarray(
+        np.linalg.inv(A_levels[-1].toarray()), dtype
+    )
+
+    dinv = []
+    for A in A_levels[:-1]:
+        d = A.diagonal()
+        d = np.where(np.abs(d) > 0, d, 1.0)
+        dinv.append(jnp.asarray(1.0 / d, dtype))
+
+    return AmgPreconditioner(
+        A_ell=tuple(_to_ell(A, dtype) for A in A_levels[:-1]),
+        P_ell=tuple(_to_ell(P, dtype) for P in P_levels),
+        R_ell=tuple(_to_ell(P.T.tocsr(), dtype) for P in P_levels),
+        dinv=tuple(dinv),
+        coarse_inv=coarse_inv,
+        omega=omega,
+        nu=nu,
+        n_levels=len(A_levels),
+    )

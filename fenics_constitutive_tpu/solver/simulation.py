@@ -39,9 +39,11 @@ class PackedSimulation:
         bcs: Dirichlet BCs (values may be mutated between steps).
         q_degree: quadrature degree.
         del_t: time increment (mutable attribute).
-        preconditioner: None (Jacobi), "bpx", or "vcycle" — the multilevel
-            options need a box-structured mesh and elastic moduli, which are
-            taken from ``elastic_moduli`` or estimated from the model params.
+        preconditioner: None (Jacobi), "bpx", "vcycle", or "amg". The
+            geometric options ("bpx"/"vcycle") need a box-structured mesh;
+            "amg" (smoothed-aggregation, solver/amg.py) works on any mesh —
+            the PETSc-AMG analog. Elastic moduli are taken from
+            ``elastic_moduli`` or estimated from the model params.
         matvec_impl: "conv", "pallas", or "auto" (pallas on TPU backends for
             the 3D structured hot path).
         max_subdivisions: retry a failed load step as up to 2^k substeps with
@@ -116,7 +118,23 @@ class PackedSimulation:
                     "nu": 3, "nu_coarse": 2, "coarse_direct": True,
                     **mg_options,
                 }
-            if structured and getattr(geo, "degree", 1) >= 2:
+            if preconditioner == "amg":
+                # smoothed-aggregation AMG: works on ANY mesh (the PETSc-AMG
+                # analog); node-major apply, wrapped with the grid<->node
+                # permutation when the step runs grid-major
+                from .amg import build_amg
+
+                amg = build_amg(
+                    space, mu, kappa, np.asarray(free),
+                    q_degree=q_degree, **mg_options,
+                )
+                if structured:
+                    pc = lambda r: geo.to_grid_major(  # noqa: E731
+                        amg(geo.to_node_major(r))
+                    )
+                else:
+                    pc = amg
+            elif structured and getattr(geo, "degree", 1) >= 2:
                 # lattice engine: precondition with the refined-P1 hierarchy
                 # on the SAME dof lattice (identical node ordering, so the
                 # grid-major vectors coincide and no permutation is needed)
@@ -161,7 +179,11 @@ class PackedSimulation:
                     **mg_options,
                 )
             else:
-                msg = "multilevel preconditioning needs a box mesh (P1 or P2)"
+                msg = (
+                    "geometric multilevel preconditioning needs a box mesh "
+                    "(P1 or P2); use preconditioner='amg' on unstructured "
+                    "meshes"
+                )
                 raise AssertionError(msg)
 
         # f32 robustness defaults: round-off breaks exact conjugacy at deeply
