@@ -74,6 +74,10 @@ class IncrSmallStrainProblem:
             the interactive Newton loop. "aos" keeps the reference-parity
             array-of-structures layouts (the correctness baseline the packed
             engines are pinned against in tests/solver/test_packed.py).
+        preconditioner: None (Jacobi on the consistent tangent), "amg"
+            (smoothed-aggregation elastic hierarchy, solver/amg.py — any
+            mesh; the analog of handing the reference's NewtonSolver PETSc
+            AMG options), or an explicit node-major callable M^-1.
     """
 
     def __init__(
@@ -85,6 +89,7 @@ class IncrSmallStrainProblem:
         del_t: float = 1.0,
         *,
         engine: str = "auto",
+        preconditioner=None,
     ):
         mesh = space.mesh
         if isinstance(laws, IncrSmallStrainModel):
@@ -128,6 +133,29 @@ class IncrSmallStrainProblem:
         self.u_prev = jnp.zeros(self.ndofs, ftype)
         self._tangents = None
         self.f_ext = jnp.zeros(self.ndofs, ftype)  # external load (Neumann analog)
+
+        # optional preconditioner: "amg" builds the smoothed-aggregation
+        # elastic hierarchy (solver/amg.py — works on any mesh, the
+        # PETSc-AMG analog of the reference's petsc_options); a callable is
+        # used as-is (node-major M^-1). BC dof SETS are fixed at ctor (only
+        # values mutate), so the free mask is a build-time constant.
+        self._pc = None
+        if preconditioner is not None:
+            if callable(preconditioner):
+                self._pc = preconditioner
+            else:
+                assert preconditioner == "amg", preconditioner
+                from ..fem.bcs import combine_bcs
+                from .amg import build_amg
+                from .simulation import _estimate_moduli
+
+                bc_dofs, _ = combine_bcs(bcs)
+                free_np = np.ones(self.ndofs, bool)
+                free_np[np.asarray(bc_dofs)] = False
+                mu_e, kappa_e = _estimate_moduli(self._models[0])
+                self._pc = build_amg(
+                    space, mu_e, kappa_e, free_np, q_degree=q_degree
+                )
 
         if engine == "packed":
             from .packed_step import build_packed_problem
@@ -263,6 +291,17 @@ class IncrSmallStrainProblem:
                 vm = jnp.where(free_gm, v, 0.0)
                 return jnp.where(free_gm, geo.matvec_gm(vm, tg), v)
 
+            if self._pc is not None:
+                def precond(rr):
+                    rm = jnp.where(free_gm, rr, 0.0)
+                    z = geo.to_grid_major(self._pc(geo.to_node_major(rm)))
+                    return jnp.where(free_gm, z, rr)
+
+                delta_gm, k = cg_solve(
+                    matvec, r_gm, rtol=cg_rtol, maxiter=cg_maxiter,
+                    precond=precond, flexible=cg_flexible,
+                )
+                return geo.to_node_major(delta_gm), k
             diag = jnp.where(free_gm, geo.jacobi_diag_gm(tg), 1.0)
             delta_gm, k = cg_solve(
                 matvec, r_gm, diag, rtol=cg_rtol, maxiter=cg_maxiter,
@@ -277,6 +316,15 @@ class IncrSmallStrainProblem:
                 out = out + geo.matvec(vm, tg)
             return jnp.where(free, out, v)
 
+        if self._pc is not None:
+            def precond(rr):
+                rm = jnp.where(free, rr, 0.0)
+                return jnp.where(free, self._pc(rm), rr)
+
+            return cg_solve(
+                matvec, jnp.where(free, r, 0.0), rtol=cg_rtol,
+                maxiter=cg_maxiter, precond=precond, flexible=cg_flexible,
+            )
         diag = jnp.zeros_like(r)
         for geo, tg in zip(geos, tangents):
             diag = diag + geo.jacobi_diag(tg)
@@ -308,6 +356,15 @@ class IncrSmallStrainProblem:
             return jnp.where(free, out, v)
 
         b = jnp.where(free, r, 0.0)
+        if self._pc is not None:
+            def precond(rr):
+                rm = jnp.where(free, rr, 0.0)
+                return jnp.where(free, self._pc(rm), rr)
+
+            return cg_solve(
+                matvec, b, rtol=cg_rtol, maxiter=cg_maxiter,
+                precond=precond, flexible=cg_flexible,
+            )
         delta, k = cg_solve(
             matvec, b, diag, rtol=cg_rtol, maxiter=cg_maxiter,
             flexible=cg_flexible,

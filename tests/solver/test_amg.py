@@ -163,3 +163,28 @@ def test_amg_on_structured_mesh_via_simulation():
     np.testing.assert_allclose(
         np.asarray(sim_a.u), np.asarray(sim_v.u), rtol=1e-8, atol=1e-12
     )
+
+
+def test_amg_on_interactive_problem():
+    """IncrSmallStrainProblem(preconditioner='amg') matches the default
+    Jacobi path on a tet mesh, with far fewer CG iterations."""
+    from fenics_constitutive_tpu.solver import IncrSmallStrainProblem
+
+    mesh = unit_cube_mesh(5, 5, 5, "tetra")
+    V = FunctionSpace(mesh, 1, 3)
+    bcs_a, bm_a = _cube_bcs(V)
+    bcs_j, bm_j = _cube_bcs(V)
+    prob_a = IncrSmallStrainProblem(
+        VonMises3D(MAT), V, bcs_a, 2, preconditioner="amg"
+    )
+    prob_j = IncrSmallStrainProblem(VonMises3D(MAT), V, bcs_j, 2)
+    for k in (1, 2):
+        bm_a.value = bm_j.value = 0.004 * k
+        _, conv_a = prob_a.solve()
+        prob_a.update()
+        _, conv_j = prob_j.solve()
+        prob_j.update()
+        assert conv_a and conv_j
+    np.testing.assert_allclose(
+        np.asarray(prob_a.u), np.asarray(prob_j.u), rtol=1e-8, atol=1e-12
+    )
