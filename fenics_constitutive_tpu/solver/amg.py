@@ -123,6 +123,23 @@ def _node_adjacency(A, vs: int):
     return G
 
 
+def _aggregate_geometric(coords: np.ndarray, factor: float = 3.0) -> np.ndarray:
+    """Vectorized box aggregation: bucket nodes into cubes of ~factor*h.
+
+    O(n log n) via np.unique — replaces the serial greedy graph walk at the
+    fine level, where node counts are large (the graph version is kept for
+    coarse levels and as the `aggregation="graph"` option). h is estimated
+    from the point density; empty boxes vanish in the unique() compaction."""
+    n, g = coords.shape
+    lo = coords.min(axis=0)
+    span = np.maximum(coords.max(axis=0) - lo, 1e-300)
+    h = float((np.prod(span) / max(n, 1)) ** (1.0 / g))
+    size = factor * h
+    keys = np.floor((coords - lo) / size).astype(np.int64)
+    _, agg = np.unique(keys, axis=0, return_inverse=True)
+    return agg.ravel()
+
+
 def _aggregate(G) -> np.ndarray:
     """Greedy two-pass aggregation on a node graph. Returns agg id per node."""
     nn = G.shape[0]
@@ -201,7 +218,8 @@ def _tentative_P(agg: np.ndarray, B: np.ndarray, bs: int):
     maxm = int(counts.max())
     # padded member table [n_agg, maxm] of node ids (pad = -1)
     members = np.full((n_agg, maxm), -1, np.int64)
-    pos = np.concatenate([np.arange(c) for c in counts])
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = np.arange(nn) - starts[agg[order]]
     members[agg[order], pos] = order
     valid = members >= 0  # [n_agg, maxm]
 
@@ -336,6 +354,8 @@ def build_amg(
     max_coarse: int = 600,
     max_levels: int = 12,
     smooth_prolongation: bool = True,
+    aggregation: str = "auto",
+    geometric_factor: float = 2.6,
     dtype=None,
 ) -> AmgPreconditioner:
     """Build the smoothed-aggregation elastic hierarchy for ``space``.
@@ -347,6 +367,15 @@ def build_amg(
         free_mask: bool [ndofs], False at Dirichlet dofs.
         smooth_prolongation: P = (I - 4/(3 rho) D^-1 A) P_tent (classic SA);
             False keeps plain (unsmoothed) aggregation.
+        aggregation: fine-level aggregation strategy. "graph" = greedy
+            two-pass walk on the stiffness graph (serial host loop, best
+            aggregate quality); "geometric" = vectorized box bucketing of the
+            node coordinates (O(n log n), no Python loop); "auto" switches to
+            geometric above 8k nodes where the graph walk's host time
+            dominates the build. Coarse levels (no coordinates) always use
+            the graph walk — they are small.
+        geometric_factor: box edge length in units of the mean node spacing
+            for ``aggregation="geometric"``.
     """
     import scipy.sparse as sp
 
@@ -363,13 +392,24 @@ def build_amg(
     B = _rigid_body_modes(np.asarray(space.dof_coords), vs)
     B = B * free.astype(np.float64)[:, None]
 
+    if aggregation not in ("auto", "graph", "geometric"):
+        msg = f"aggregation must be 'auto'|'graph'|'geometric', got {aggregation!r}"
+        raise ValueError(msg)
+    coords0 = np.asarray(space.dof_coords, np.float64)
+    use_geometric = aggregation == "geometric" or (
+        aggregation == "auto" and coords0.shape[0] > 8000
+    )
+
     A_levels = [A0]
     P_levels: list = []
     bs = vs  # dofs per "node" at the current level (nb on coarse levels)
     while A_levels[-1].shape[0] > max_coarse and len(A_levels) < max_levels:
         A = A_levels[-1]
-        G = _node_adjacency(A, bs)
-        agg = _aggregate(G)
+        if use_geometric and len(A_levels) == 1:
+            agg = _aggregate_geometric(coords0, geometric_factor)
+        else:
+            G = _node_adjacency(A, bs)
+            agg = _aggregate(G)
         P, B = _tentative_P(agg, B, bs)
         bs = B.shape[1]
         if P.shape[1] >= A.shape[0]:  # aggregation stalled

@@ -142,6 +142,51 @@ def test_amg_hierarchy_is_linear_and_contracts():
     assert float(jnp.linalg.norm(r)) < 1e-3 * n0
 
 
+def test_amg_geometric_aggregation_matches_graph():
+    """Vectorized box aggregation (the large-mesh default) preconditions as
+    well as the greedy graph walk: same linear-operator contract, comparable
+    Richardson contraction on the elastic operator."""
+    import jax.numpy as jnp
+
+    from fenics_constitutive_tpu.solver.amg import _ell_matvec
+
+    mesh = unit_cube_mesh(6, 6, 6, "tetra")
+    V = FunctionSpace(mesh, 1, 3)
+    bcs, _ = _cube_bcs(V)
+    bc_dofs, _ = combine_bcs(bcs)
+    free = np.ones(V.ndofs, bool)
+    free[np.asarray(bc_dofs)] = False
+
+    rng = np.random.default_rng(7)
+    b = jnp.asarray(rng.standard_normal(V.ndofs) * free)
+
+    def contraction(amg):
+        Av, Ac = amg.A_ell[0]
+        x = jnp.zeros(V.ndofs, Av.dtype)
+        r = b.astype(Av.dtype)
+        n0 = float(jnp.linalg.norm(r))
+        for _ in range(10):
+            x = x + amg(r)
+            r = b.astype(Av.dtype) - _ell_matvec(Av, Ac, x)
+        return float(jnp.linalg.norm(r)) / n0
+
+    amg_geo = build_amg(
+        V, MAT["p_mu"], MAT["p_ka"], free, aggregation="geometric"
+    )
+    amg_gra = build_amg(V, MAT["p_mu"], MAT["p_ka"], free, aggregation="graph")
+    assert amg_geo.n_levels >= 2
+    c_geo, c_gra = contraction(amg_geo), contraction(amg_gra)
+    assert c_geo < 1e-3, c_geo
+    assert c_geo < 10.0 * c_gra, (c_geo, c_gra)
+    # linearity of the geometric-aggregation cycle
+    r2 = jnp.asarray(rng.standard_normal(V.ndofs) * free)
+    np.testing.assert_allclose(
+        np.asarray(amg_geo(b + 2.0 * r2)),
+        np.asarray(amg_geo(b) + 2.0 * amg_geo(r2)),
+        rtol=1e-10, atol=1e-12,
+    )
+
+
 def test_amg_on_structured_mesh_via_simulation():
     """Explicit 'amg' on a box-hex mesh goes through the grid-major wrap."""
     mesh = unit_cube_mesh(4, 4, 4, "hex")
