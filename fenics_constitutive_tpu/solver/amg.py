@@ -106,8 +106,15 @@ def _eliminate_dirichlet(A, free: np.ndarray):
     return (Df @ A @ Df + sp.diags(1.0 - d)).tocsr()
 
 
-def _node_adjacency(A, vs: int):
-    """Node graph from the dof CSR's block sparsity (CSR [nn, nn] 0/1)."""
+def _node_adjacency(A, vs: int, theta: float = 0.0):
+    """Node graph from the dof CSR's block sparsity (CSR [nn, nn] 0/1).
+
+    ``theta > 0`` applies classic symmetric strength-of-connection dropping
+    on the vs-by-vs node blocks: edge (i, j) survives iff
+    ``|A_ij|_F >= theta * sqrt(|A_ii|_F |A_jj|_F)``. On anisotropic
+    elements the weak-direction couplings fall below the threshold, so
+    aggregation semi-coarsens along the strong direction (the same idea as
+    PyAMG's symmetric strength measure)."""
     import scipy.sparse as sp
 
     n_dof = A.shape[0]
@@ -116,6 +123,16 @@ def _node_adjacency(A, vs: int):
     keep = coo.data != 0.0
     r = coo.row[keep] // vs
     c = coo.col[keep] // vs
+    if theta > 0.0:
+        # block Frobenius norms squared: N_ij = sum over the block of a^2
+        N = sp.coo_matrix(
+            (coo.data[keep] ** 2, (r, c)), shape=(nn, nn)
+        ).tocsr()
+        N.sum_duplicates()
+        d = np.sqrt(np.maximum(N.diagonal(), 0.0))
+        Nc = N.tocoo()
+        strong = Nc.data >= (theta**2) * d[Nc.row] * d[Nc.col]
+        r, c = Nc.row[strong], Nc.col[strong]
     G = sp.coo_matrix((np.ones(len(r)), (r, c)), shape=(nn, nn)).tocsr()
     G.sum_duplicates()
     G.setdiag(0)
@@ -123,18 +140,36 @@ def _node_adjacency(A, vs: int):
     return G
 
 
-def _aggregate_geometric(coords: np.ndarray, factor: float = 3.0) -> np.ndarray:
-    """Vectorized box aggregation: bucket nodes into cubes of ~factor*h.
+def _aggregate_geometric(
+    coords: np.ndarray, factor: float = 3.0, h_axes: np.ndarray | None = None
+) -> np.ndarray:
+    """Vectorized box aggregation: bucket nodes into boxes of ~factor*h.
 
     O(n log n) via np.unique — replaces the serial greedy graph walk at the
     fine level, where node counts are large (the graph version is kept for
-    coarse levels and as the `aggregation="graph"` option). h is estimated
-    from the point density; empty boxes vanish in the unique() compaction."""
+    coarse levels and as the `aggregation="graph"` option). ``h_axes`` is
+    the per-axis node spacing (e.g. the median per-axis cell extent); on
+    stretched meshes the box then spans ~factor cells along the SMALL
+    (strongly coupled) axis and a single cell along the large axes — the
+    classic semi-coarsening shape — instead of lumping many thin cells
+    into one physically-cubic aggregate. The box volume stays calibrated
+    on the isotropic point-density estimate (which ``geometric_factor``
+    was tuned against), so isotropic meshes are unchanged. Empty boxes
+    vanish in the unique() compaction."""
     n, g = coords.shape
     lo = coords.min(axis=0)
     span = np.maximum(coords.max(axis=0) - lo, 1e-300)
-    h = float((np.prod(span) / max(n, 1)) ** (1.0 / g))
-    size = factor * h
+    h_density = float((np.prod(span) / max(n, 1)) ** (1.0 / g))
+    if h_axes is None:
+        size = np.full(g, factor * h_density)
+    else:
+        h = np.maximum(np.asarray(h_axes, np.float64), 1e-300)
+        # semi-coarsening on stretched elements: coupling is strong across
+        # the SMALL spacing, so aggregate ~factor cells along that axis and
+        # clip the box to one cell along the weakly coupled large axes. The
+        # reference spacing is capped by the density estimate so isotropic
+        # meshes reproduce the h_axes=None calibration exactly.
+        size = np.maximum(h, factor * min(h.min(), h_density))
     keys = np.floor((coords - lo) / size).astype(np.int64)
     _, agg = np.unique(keys, axis=0, return_inverse=True)
     return agg.ravel()
@@ -356,6 +391,7 @@ def build_amg(
     smooth_prolongation: bool = True,
     aggregation: str = "auto",
     geometric_factor: float = 2.6,
+    strength_theta: float = 0.06,
     dtype=None,
 ) -> AmgPreconditioner:
     """Build the smoothed-aggregation elastic hierarchy for ``space``.
@@ -374,8 +410,18 @@ def build_amg(
             geometric above 8k nodes where the graph walk's host time
             dominates the build. Coarse levels (no coordinates) always use
             the graph walk — they are small.
-        geometric_factor: box edge length in units of the mean node spacing
-            for ``aggregation="geometric"``.
+        geometric_factor: box edge length in units of the per-axis cell
+            extent for ``aggregation="geometric"``.
+        strength_theta: strength-of-connection threshold for the graph
+            aggregation (0 keeps every coupling). On anisotropic (stretched)
+            elements weak-direction block couplings fall below the
+            threshold, aggregates follow the strong direction
+            (semi-coarsening), and the cycle stays strongly contracting
+            where plain aggregation degrades (measured on a 25:1 tet slab,
+            10 V-cycles: residual reduction 3e-8 vs 0.27 at theta=0;
+            tests/solver/test_amg.py::test_amg_anisotropic_slab_semi_coarsening).
+            The 0.06 default is a no-op on isotropic meshes, where all
+            block couplings are comparable.
     """
     import scipy.sparse as sp
 
@@ -406,9 +452,12 @@ def build_amg(
     while A_levels[-1].shape[0] > max_coarse and len(A_levels) < max_levels:
         A = A_levels[-1]
         if use_geometric and len(A_levels) == 1:
-            agg = _aggregate_geometric(coords0, geometric_factor)
+            cells = np.asarray(space.mesh.cells)
+            pts = np.asarray(space.mesh.nodes, np.float64)[cells]
+            h_axes = np.median(pts.max(axis=1) - pts.min(axis=1), axis=0)
+            agg = _aggregate_geometric(coords0, geometric_factor, h_axes)
         else:
-            G = _node_adjacency(A, bs)
+            G = _node_adjacency(A, bs, strength_theta)
             agg = _aggregate(G)
         P, B = _tentative_P(agg, B, bs)
         bs = B.shape[1]

@@ -233,3 +233,49 @@ def test_amg_on_interactive_problem():
     np.testing.assert_allclose(
         np.asarray(prob_a.u), np.asarray(prob_j.u), rtol=1e-8, atol=1e-12
     )
+
+
+def test_amg_anisotropic_slab_semi_coarsening():
+    """Stretched (25:1) tet slab: both anisotropy mechanisms — strength-of-
+    connection dropping on the graph walk and per-axis cell extents in the
+    box aggregation — keep the cycle strongly contracting where plain
+    aggregation (theta=0, isotropic boxes) degrades to ~0.9 per sweep.
+    PETSc's GAMG gives the reference this robustness for free."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from fenics_constitutive_tpu.solver.amg import _ell_matvec
+
+    m = unit_cube_mesh(10, 10, 10, "tetra")
+    nodes = np.asarray(m.nodes).copy()
+    nodes[:, 2] *= 1.0 / 25.0
+    mesh = dataclasses.replace(m, nodes=jnp.asarray(nodes))
+    V = FunctionSpace(mesh, 1, 3)
+    bcs, _ = _cube_bcs(V)
+    bc_dofs, _ = combine_bcs(bcs)
+    free = np.ones(V.ndofs, bool)
+    free[np.asarray(bc_dofs)] = False
+    rng = np.random.default_rng(3)
+    b = jnp.asarray(rng.standard_normal(V.ndofs) * free)
+
+    def contraction(amg):
+        Av, Ac = amg.A_ell[0]
+        x = jnp.zeros(V.ndofs, Av.dtype)
+        r = b.astype(Av.dtype)
+        n0 = float(jnp.linalg.norm(r))
+        for _ in range(10):
+            x = x + amg(r)
+            r = b.astype(Av.dtype) - _ell_matvec(Av, Ac, x)
+        return float(jnp.linalg.norm(r)) / n0
+
+    args = (V, MAT["p_mu"], MAT["p_ka"], free)
+    c_geo = contraction(build_amg(*args, aggregation="geometric"))
+    c_graph = contraction(build_amg(*args, aggregation="graph"))
+    c_plain = contraction(
+        build_amg(*args, aggregation="graph", strength_theta=0.0)
+    )
+    # measured: geo 4.0e-6, graph(0.06) 3.4e-8, plain 0.27 (10 cycles)
+    assert c_geo < 1e-4, c_geo
+    assert c_graph < 1e-6, c_graph
+    assert c_plain > 1e-3 * max(c_geo, c_graph), (c_plain, c_geo, c_graph)
