@@ -78,6 +78,10 @@ class IncrSmallStrainProblem:
             (smoothed-aggregation elastic hierarchy, solver/amg.py — any
             mesh; the analog of handing the reference's NewtonSolver PETSc
             AMG options), or an explicit node-major callable M^-1.
+        pc_options: extra kwargs for the preconditioner build — forwarded
+            to ``solver.amg.build_amg`` (``aggregation``, ``strength_theta``,
+            ``geometric_factor``, ``nu``, ...). The PackedSimulation analog
+            is ``mg_options``.
     """
 
     def __init__(
@@ -90,6 +94,7 @@ class IncrSmallStrainProblem:
         *,
         engine: str = "auto",
         preconditioner=None,
+        pc_options: dict | None = None,
     ):
         mesh = space.mesh
         if isinstance(laws, IncrSmallStrainModel):
@@ -154,7 +159,8 @@ class IncrSmallStrainProblem:
                 free_np[np.asarray(bc_dofs)] = False
                 mu_e, kappa_e = _estimate_moduli(self._models[0])
                 self._pc = build_amg(
-                    space, mu_e, kappa_e, free_np, q_degree=q_degree
+                    space, mu_e, kappa_e, free_np, q_degree=q_degree,
+                    **(pc_options or {}),
                 )
 
         if engine == "packed":
