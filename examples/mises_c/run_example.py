@@ -11,6 +11,14 @@ Run:  python examples/mises_c/run_example.py
 
 from __future__ import annotations
 
+# allow running from a plain checkout: put the repo root on sys.path when
+# the package is not installed (the reference's examples are instead built
+# against an installed fenics_constitutive; we stay dependency-free)
+import pathlib as _pathlib
+import sys as _sys
+
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parents[2]))
+
 import ctypes
 import pathlib
 import subprocess

@@ -13,6 +13,14 @@ Run:  python examples/plasticity_demo/run_example.py  [out_dir]
 
 from __future__ import annotations
 
+# allow running from a plain checkout: put the repo root on sys.path when
+# the package is not installed (the reference's examples are instead built
+# against an installed fenics_constitutive; we stay dependency-free)
+import pathlib as _pathlib
+import sys as _sys
+
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parents[2]))
+
 import pathlib
 import sys
 
@@ -97,5 +105,8 @@ def main(out_dir: str) -> None:
 
 
 if __name__ == "__main__":
+    # demo scale is tiny — run on CPU in f64 (TPU scale-up goes through
+    # PackedSimulation; see docs/performance.md)
+    jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
     main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/plasticity_demo")
