@@ -107,7 +107,10 @@ def main() -> None:
         lambda st, scale: step(models, st, bc_dofs_j, bc_vals_j * scale, f_ext, dt)
     )
 
-    K_STEPS = 48  # steps per dispatch: production stepping runs many steps
+    import os
+
+    K_STEPS = int(os.environ.get("BENCH_STEPS", "48"))
+    # steps per dispatch: production stepping runs many steps
     # device-side per host round trip (PackedSimulation.solve_schedule is
     # exactly this pattern as a public API, and the reference's own tests
     # drive 100-step load paths, tests/models/test_plasticity.py:96); this
