@@ -48,6 +48,12 @@ class PackedSimulation:
             the 3D structured hot path).
         max_subdivisions: retry a failed load step as up to 2^k substeps with
             interpolated BCs/dt (0 = off; see solve()).
+        f_ext: optional [ndofs] external (Neumann) load vector — the analog
+            of the reference's ``R_form``-appended traction terms
+            (/root/reference/src/fenics_constitutive/solver/_solver.py:46-52
+            as exercised by tests/models/test_viscoelasticity.py:450-468).
+            Build it with ``fem.facets.assemble_facet_traction``; mutate the
+            ``f_ext`` attribute between steps for load-controlled paths.
         eval_impl: "conv" (XLA) or "pallas" (fused strain->return-map->
             divergence Mosaic kernel; VonMises3D on the degree-1 structured
             engine only — see ops/pallas_eval.py).
@@ -76,6 +82,7 @@ class PackedSimulation:
         dtype=None,
         mg_options: dict | None = None,
         eval_impl: str = "conv",
+        f_ext=None,
     ):
         self.space = space
         self.bcs = bcs
@@ -83,6 +90,13 @@ class PackedSimulation:
         geos, models, state = build_packed_problem(space, laws, q_degree, dtype)
         self._geos, self._models = geos, models
         self.state: PackedState = state
+        self.f_ext = (
+            jnp.zeros(space.ndofs, state.u.dtype)
+            if f_ext is None
+            else jnp.asarray(f_ext, state.u.dtype)
+        )
+        # last successfully committed external load, for substep interpolation
+        self._f_ext_committed = np.asarray(self.f_ext)
         geo = geos[0]
         structured = hasattr(geo, "matvec_gm") and len(geos) == 1
 
@@ -248,15 +262,16 @@ class PackedSimulation:
 
         With ``max_subdivisions > 0``, a failed step (Newton cap hit or a
         NaN-poisoned local return map) is retried as 2, 4, ..., 2^k substeps
-        with linearly interpolated BC values and dt — adaptive substepping
-        the reference lacks entirely (its models raise RuntimeError / panic
-        on local divergence, SURVEY §5.3). On total failure the committed
-        state is restored and (niter, False) is returned.
+        with linearly interpolated BC values, external loads, and dt —
+        adaptive substepping the reference lacks entirely (its models raise
+        RuntimeError / panic on local divergence, SURVEY §5.3). On total
+        failure the committed state is restored and (niter, False) is
+        returned.
         """
         bc_dofs_np, bc_vals_np = combine_bcs(self.bcs)
         bc_dofs = jnp.asarray(bc_dofs_np)
         dtype = self.state.u.dtype
-        f_ext = jnp.zeros(self.space.ndofs, dtype)
+        f_ext = jnp.asarray(self.f_ext, dtype)
         state0 = self.state
 
         niter, ok = self._attempt(
@@ -266,9 +281,13 @@ class PackedSimulation:
         if ok or self._max_subdivisions == 0:
             if not ok:
                 self.state = state0
+            else:
+                self._f_ext_committed = np.asarray(f_ext)
             return niter, ok
 
         start_vals = np.asarray(state0.u)[bc_dofs_np] if len(bc_dofs_np) else bc_vals_np
+        f_target = np.asarray(f_ext)
+        f_start = self._f_ext_committed
         for level in range(1, self._max_subdivisions + 1):
             n_sub = 2**level
             self.state = state0
@@ -277,19 +296,21 @@ class PackedSimulation:
             for k in range(1, n_sub + 1):
                 frac = k / n_sub
                 vals_k = start_vals + frac * (bc_vals_np - start_vals)
+                f_k = f_start + frac * (f_target - f_start)
                 niter, ok = self._attempt(
-                    bc_dofs, jnp.asarray(vals_k, dtype), f_ext,
+                    bc_dofs, jnp.asarray(vals_k, dtype), jnp.asarray(f_k, dtype),
                     jnp.asarray(self.del_t / n_sub, dtype),
                 )
                 total += niter
                 if not ok:
                     break
             if ok:
+                self._f_ext_committed = f_target
                 return total, True
         self.state = state0
         return niter, False
 
-    def solve_schedule(self, bc_values, dts=None) -> dict:
+    def solve_schedule(self, bc_values, dts=None, f_ext_scales=None) -> dict:
         """Run a whole load schedule device-side in ONE dispatch.
 
         The reference's user loop re-enters Python (and re-crosses the
@@ -305,6 +326,13 @@ class PackedSimulation:
                 ``f(step_index) -> [n_bc]`` evaluated host-side for K from
                 ``dts``.
             dts: optional [K] time increments (default: ``del_t`` each).
+            f_ext_scales: optional per-step external loads. Either a [K]
+                array of scalars multiplying ``self.f_ext`` (traction ramps;
+                constant load = ``np.ones(K)``), or a full [K, ndofs] array
+                of per-step load vectors (``self.f_ext`` is then ignored).
+                Default: ``self.f_ext`` applied unscaled at every step — the
+                analog of the reference's constant Neumann ``R_form`` term
+                (reference test_viscoelasticity.py:450-468).
 
         Returns:
             dict of per-step stat arrays: ``newton_iters`` [K],
@@ -333,28 +361,42 @@ class PackedSimulation:
             else jnp.asarray(dts, dtype)
         )
         bc_dofs = jnp.asarray(bc_dofs_np)
-        f_ext = jnp.zeros(self.space.ndofs, dtype)
+        if f_ext_scales is None:
+            f_base = jnp.asarray(self.f_ext, dtype)
+            f_scales = jnp.ones((K,), dtype)
+        else:
+            f_scales = jnp.asarray(f_ext_scales, dtype)
+            if f_scales.ndim == 1:  # [K] scalars scaling self.f_ext
+                f_base = jnp.asarray(self.f_ext, dtype)
+            elif f_scales.ndim == 2:  # [K, ndofs] full per-step vectors
+                assert f_scales.shape == (K, self.space.ndofs), f_scales.shape
+                f_base = jnp.ones((self.space.ndofs,), dtype)
+            else:
+                msg = f"f_ext_scales must be [K] or [K, ndofs], got {f_scales.shape}"
+                raise ValueError(msg)
+        assert f_scales.shape[0] == K, (f_scales.shape, K)
 
         if self._jitted_schedule is None:
             step = self._step
             models = self._models
 
-            def run(state, vals, dts_j, bc_dofs, f_ext):
+            def run(state, vals, dts_j, bc_dofs, f_base, f_scales):
                 def body(st, xs):
-                    v, dt = xs
-                    s2, stats = step(models, st, bc_dofs, v, f_ext, dt)
+                    v, dt, fs = xs
+                    s2, stats = step(models, st, bc_dofs, v, f_base * fs, dt)
                     return s2, (
                         stats["newton_iters"], stats["r_norm"],
                         stats["r0_norm"], stats["cg_iters_last"],
                     )
 
-                return jax.lax.scan(body, state, (vals, dts_j))
+                return jax.lax.scan(body, state, (vals, dts_j, f_scales))
 
             self._jitted_schedule = jax.jit(run)
 
         self.state, (ni, rn, r0, cg) = self._jitted_schedule(
-            self.state, vals, dts_j, bc_dofs, f_ext
+            self.state, vals, dts_j, bc_dofs, f_base, f_scales
         )
+        self._f_ext_committed = np.asarray(f_base * f_scales[-1])
         rn = np.asarray(rn)
         r0 = np.asarray(r0)
         conv = rn <= np.maximum(self._newton_atol, self._newton_rtol * r0)

@@ -210,6 +210,153 @@ def test_every_model_on_production_path(make_law):
     )
 
 
+# --- external (Neumann) loads on the production driver (VERDICT r2 #1) ------
+
+
+def _creep_bvp(dim, mat):
+    """Reference test_viscoelasticity.py:369-527 setup: symmetric-boundary
+    uniaxial tension driven by a traction on the x=1 face."""
+    from fenics_constitutive_tpu.fem import unit_square_mesh
+    from fenics_constitutive_tpu.fem.facets import (
+        assemble_facet_traction,
+        locate_boundary_facets,
+    )
+
+    E0, E1, TAU, NU = 42.0, 10.0, 10.0, 0.2
+    f_max = 0.1
+    if dim == 2:
+        mesh = unit_square_mesh(2, 2, "triangle")
+        constraint = Constraint.PLANE_STRESS
+    else:
+        mesh = unit_cube_mesh(2, 2, 2, "tetra")
+        constraint = Constraint.FULL
+    V = FunctionSpace(mesh, 1, dim)
+    law = mat({"E0": E0, "E1": E1, "tau": TAU, "nu": NU}, constraint)
+
+    def axis_is(axis, v):
+        return lambda x: np.isclose(x[:, axis], v)
+
+    bcs = [
+        DirichletBC(V.locate_dofs_geometrical(axis_is(0, 0.0), component=0), 0.0),
+        DirichletBC(V.locate_dofs_geometrical(axis_is(1, 0.0), component=1), 0.0),
+    ]
+    if dim == 3:
+        bcs.append(
+            DirichletBC(V.locate_dofs_geometrical(axis_is(2, 0.0), component=2), 0.0)
+        )
+    load = np.zeros(dim)
+    load[0] = f_max
+    facets = locate_boundary_facets(mesh, axis_is(0, 1.0))
+    f_ext = assemble_facet_traction(V, facets, load)
+    return V, law, bcs, f_ext, (E0, E1, TAU, f_max)
+
+
+@pytest.mark.parametrize("mat", [SpringKelvinModel, SpringMaxwellModel])
+@pytest.mark.parametrize("dim", [2, 3])
+def test_creep_on_production_engine(dim, mat):
+    """Stress-controlled creep (reference test_viscoelasticity.py:369-527) on
+    PackedSimulation: traction f_ext drives the load, matching the interactive
+    IncrSmallStrainProblem at 1e-8 and the analytic creep strains."""
+    V, law, bcs, f_ext, (E0, E1, TAU, f_max) = _creep_bvp(dim, mat)
+
+    sim = PackedSimulation(
+        law, V, bcs, 1, del_t=2.0, f_ext=f_ext,
+        newton_rtol=1e-12, newton_atol=1e-10, cg_rtol=1e-13,
+    )
+    problem = IncrSmallStrainProblem(law, V, bcs, 1, del_t=2.0)
+    problem.f_ext = problem.f_ext + f_ext
+
+    stress, strain, viscostrain = [], [], []
+
+    def observe():
+        stress.append(float(np.asarray(sim.stress).max()))
+        strain.append(float(np.asarray(sim.histories[0]["strain"]).max()))
+        viscostrain.append(
+            float(np.asarray(sim.histories[0]["strain_visco"]).max())
+        )
+
+    sim.del_t = 1e-8  # elastic instant response
+    problem._del_t = 1e-8
+    _, conv = sim.solve()
+    assert conv
+    problem.solve()
+    problem.update()
+    observe()
+
+    sim.del_t = 2.0
+    problem._del_t = 2.0
+    while sim.time < 20 * TAU:
+        n, converged = sim.solve()
+        assert converged
+        _, conv_p = problem.solve()
+        assert conv_p
+        problem.update()
+        observe()
+
+    np.testing.assert_allclose(
+        np.asarray(sim.u), np.asarray(problem.u), rtol=0, atol=1e-8
+    )
+    if mat is SpringKelvinModel:
+        strain_0_ana = f_max / E0
+        strain_final_ana = f_max / E0 + f_max / E1
+    else:
+        strain_0_ana = f_max / (E0 + E1)
+        strain_final_ana = f_max / E0
+    assert abs(strain[0] - strain_0_ana) < 1e-8
+    assert abs(strain[-1] - strain_final_ana) < 1e-8
+    assert abs(stress[0] - f_max) < 1e-8
+    assert np.sum(np.diff(stress)) < 1e-8
+    assert abs(viscostrain[0]) < 1e-8
+    assert viscostrain[-1] > 0
+
+
+def test_solve_schedule_f_ext_scales():
+    """solve_schedule with per-step external-load scales matches sequential
+    solve() calls that mutate sim.f_ext (traction ramp), for both the [K]
+    scalar-scale and the [K, ndofs] full-vector forms."""
+    V, law, bcs, f_ext, _ = _creep_bvp(3, SpringKelvinModel)
+    K = 4
+    scales = np.linspace(0.25, 1.0, K)
+
+    sim_seq = PackedSimulation(SpringKelvinModel(
+        {"E0": 42.0, "E1": 10.0, "tau": 10.0, "nu": 0.2}, Constraint.FULL
+    ), V, bcs, 1, del_t=2.0, newton_rtol=1e-12, newton_atol=1e-10, cg_rtol=1e-13)
+    for s in scales:
+        sim_seq.f_ext = jnp.asarray(s * f_ext, sim_seq.state.u.dtype)
+        _, conv = sim_seq.solve()
+        assert conv
+
+    from fenics_constitutive_tpu.fem.bcs import combine_bcs
+
+    n_bc = len(combine_bcs(bcs)[0])
+    bc_vals = np.zeros((K, n_bc))
+
+    def fresh():
+        return PackedSimulation(SpringKelvinModel(
+            {"E0": 42.0, "E1": 10.0, "tau": 10.0, "nu": 0.2}, Constraint.FULL
+        ), V, bcs, 1, del_t=2.0, f_ext=f_ext,
+            newton_rtol=1e-12, newton_atol=1e-10, cg_rtol=1e-13)
+
+    sim_sc = fresh()
+    stats = sim_sc.solve_schedule(bc_vals, f_ext_scales=scales)
+    assert stats["converged"].all(), stats
+    np.testing.assert_allclose(
+        np.asarray(sim_sc.u), np.asarray(sim_seq.u), rtol=1e-10, atol=1e-13
+    )
+
+    sim_full = fresh()
+    stats = sim_full.solve_schedule(
+        bc_vals, f_ext_scales=scales[:, None] * np.asarray(f_ext)[None, :]
+    )
+    assert stats["converged"].all(), stats
+    np.testing.assert_allclose(
+        np.asarray(sim_full.u), np.asarray(sim_seq.u), rtol=1e-10, atol=1e-13
+    )
+
+
+import jax.numpy as jnp  # noqa: E402
+
+
 def _fragile_elasticity(threshold):
     """Linear elasticity whose local 'return map' fails (NaN-poisons) when a
     strain increment exceeds ``threshold`` — the behavior of real UMATs with
