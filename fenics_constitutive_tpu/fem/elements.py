@@ -265,13 +265,8 @@ def _tensor_basis_1d(degree, t):
 def _tensor_basis(degree, pts, dim):
     per_axis = [_tensor_basis_1d(degree, pts[:, d]) for d in range(dim)]
     nb = per_axis[0][0].shape[-1]
-    # node index = i0 + nb*i1 + nb^2*i2 (x fastest), matching mesh.py hex ordering
-    idx = np.stack(
-        np.meshgrid(*([np.arange(nb)] * dim), indexing="ij"), axis=-1
-    ).reshape(-1, dim)
-    # meshgrid 'ij' puts the FIRST axis slowest; we want x fastest -> reverse
-    idx = idx[:, ::-1] if False else idx
-    # build with explicit loop to keep ordering obvious
+    # node index = i0 + nb*i1 + nb^2*i2 (x fastest), matching mesh.py hex
+    # ordering; built with an explicit loop to keep ordering obvious
     n_nodes = nb**dim
     Q = pts.shape[0]
     N = np.ones((Q, n_nodes))

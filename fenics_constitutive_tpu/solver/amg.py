@@ -92,6 +92,10 @@ def space_constraint(space) -> Constraint:
     if gdim == 3:
         return Constraint.FULL
     if gdim == 2:
+        assert vs == 2, (
+            f"AMG elastic surrogate needs a vector space (value_size == gdim"
+            f" == 2); got value_size={vs} — 2D scalar spaces are unsupported"
+        )
         return Constraint.PLANE_STRAIN  # elastic SPD surrogate; 2D precond
     assert vs == 1
     return Constraint.UNIAXIAL_STRESS

@@ -139,6 +139,12 @@ def make_packed_step(
     KRYLOV solve (the correction accuracy), not the residual accumulation.
     Tight-tolerance P2 solves should enable x64; see docs/performance.md.)
     """
+    if eval_impl not in ("conv", "pallas"):
+        msg = f"eval_impl must be 'conv' or 'pallas', got {eval_impl!r}"
+        raise ValueError(msg)
+    if matvec_impl not in ("conv", "pallas"):
+        msg = f"matvec_impl must be 'conv' or 'pallas', got {matvec_impl!r}"
+        raise ValueError(msg)
     ndofs = geos[0].ndofs
     constraint = geos[0].constraint
     cg_opts = dict(
@@ -311,15 +317,21 @@ def make_packed_step(
         assert len(geos) == 1 and hasattr(geo, "offsets"), (
             "pallas eval needs the single-law degree-1 structured path"
         )
-        _fused_cache = {}
+        # WeakKeyDictionary, NOT {id(model): ...}: CPython reuses ids of
+        # collected objects, which could silently serve a kernel baked with a
+        # different model's static Newton config; the weak entry dies with
+        # the model instead
+        import weakref
+
+        _fused_cache: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
         def eval_assemble_gm(model, u_gm, u_prev_gm, stress, history, t,
                              f_ext_gm, dt):
             del t, dt  # VonMises3D is rate-independent
             assert isinstance(model, VonMises3D)
-            if id(model) not in _fused_cache:
-                _fused_cache[id(model)] = build_pallas_eval(geo, model)
-            F, s_new, (beta, gmm, nf), h_new = _fused_cache[id(model)](
+            if model not in _fused_cache:
+                _fused_cache[model] = build_pallas_eval(geo, model)
+            F, s_new, (beta, gmm, nf), h_new = _fused_cache[model](
                 u_gm - u_prev_gm, stress, history
             )
             tg = IsotropicTangent(

@@ -69,7 +69,7 @@ def main():
         flush=True,
     )
 
-    for fk in (8, 10, 12):
+    for fk in (8, 10, 11, 12):
         step = make_packed_step(
             geos, max_newton=1, newton_rtol=0.0, newton_atol=0.0,
             cg_rtol=1e-5, cg_maxiter=400, preconditioner=mg, cg_fixed_iters=fk,
