@@ -58,6 +58,15 @@ def umat_demo_path() -> pathlib.Path:
     return _BUILD_DIR / "libumat_linear_elastic.so"
 
 
+def umat_fortran_path() -> pathlib.Path | None:
+    """Path to the REAL Fortran-compiled UMAT, or None if the build machine
+    has no Fortran compiler (the CMake target is optional; see
+    native/CMakeLists.txt and native/umat/umat_linear_elastic.f)."""
+    ensure_built()
+    p = _BUILD_DIR / "libumat_fortran_linear_elastic.so"
+    return p if p.exists() else None
+
+
 def load_library() -> ctypes.CDLL:
     global _LIB
     if _LIB is not None:

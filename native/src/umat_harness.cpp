@@ -18,7 +18,12 @@
 
 namespace {
 
-// Abaqus UMAT signature (all Fortran by-reference; reference umat.h:13-18)
+// Abaqus UMAT signature (all Fortran by-reference; reference umat.h:13-18).
+// The trailing size_t is gfortran's HIDDEN length argument for the
+// CHARACTER*(*) CMNAME parameter: Fortran compilers append one length per
+// character argument after the positional list. Passing it is required for
+// gfortran-compiled UMATs and harmless for C payloads (SysV x86-64 callees
+// ignore extra trailing arguments).
 typedef void (*umat_fn)(
     double* stress, double* statev, double* ddsdde, double* sse, double* spd,
     double* scd, double* rpl, double* ddsddt, double* drplde, double* drpldt,
@@ -27,7 +32,7 @@ typedef void (*umat_fn)(
     int* nshr, int* ntens, int* nstatv, double* props, int* nprops,
     double* coords, double* drot, double* pnewdt, double* celent,
     double* dfgrd0, double* dfgrd1, int* noel, int* npt, int* layer, int* kspt,
-    int* kstep, int* kinc);
+    int* kstep, int* kinc, size_t cmname_len);
 
 struct UmatHandle {
   void* lib;
@@ -109,7 +114,8 @@ int comfe_umat_evaluate(void* handle, double t, double del_t,
           stran_v, dstran_v, time, &dtime, &temp, &dtemp, predef, dpred,
           cmname, &ndi, &nshr, &ntens, &nstatv,
           const_cast<double*>(props), &nprops, coords, drot, &pnewdt, &celent,
-          dfgrd0, dfgrd1, &noel, &npt, &layer, &kspt, &kstep, &kinc);
+          dfgrd0, dfgrd1, &noel, &npt, &layer, &kspt, &kstep, &kinc,
+          sizeof(cmname));
 
     // Voigt -> Mandel: stress shear * sqrt2 (main.cpp:149-160)
     for (int i = 0; i < 3; ++i) sig_m[i] = sig_v[i];

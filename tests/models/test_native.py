@@ -240,3 +240,29 @@ def test_native_callback_does_not_mutate_operands():
     np.testing.assert_array_equal(np.asarray(s_a), np.asarray(s_b))
     # and the operand itself is unchanged
     assert float(jnp.linalg.norm(s0 - jnp.asarray(np.asarray(s0)))) == 0.0
+
+
+def test_umat_real_fortran_payload():
+    """Pin UmatModel against a REAL gfortran-compiled UMAT
+    (native/umat/umat_linear_elastic.f; reference ships + CMake-compiles its
+    Fortran twin, /root/reference/examples/umat/umat_linear_elastic.f:1-44).
+    Exercises actual Fortran codegen: column-major DDSDDE writes and the
+    hidden CHARACTER-length trailing argument (umat_harness.cpp passes it).
+    Skipped when the machine has no Fortran compiler (this image has none;
+    CI/user machines with gfortran run it)."""
+    from fenics_constitutive_tpu.native import umat_fortran_path
+
+    path = umat_fortran_path()
+    if path is None:
+        pytest.skip("no Fortran compiler on this machine (optional CMake target)")
+    law_f = UmatModel(str(path), [E, NU], n_statev=1)
+    ref = LinearElasticityModel({"E": E, "nu": NU}, Constraint.FULL)
+    grad = rand_grad(5, seed=7)
+    s0 = jnp.zeros((5, 6))
+    h0 = law_f.init_history(5)
+    s_f, t_f, h_f = law_f.evaluate(0.0, 1.0, grad, s0, h0)
+    s_r, t_r, _ = ref.evaluate(0.0, 1.0, grad, s0, None)
+    np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_r), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(t_f), np.asarray(t_r), rtol=1e-10)
+    # the Fortran source increments STATEV(1) per call: proof the payload ran
+    np.testing.assert_allclose(np.asarray(h_f["statev"][:, 0]), 1.0)
