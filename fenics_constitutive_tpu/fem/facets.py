@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .elements import gauss_rule, tabulate_element
+from .elements import tabulate_element
 from .mesh import Mesh
 from .spaces import FunctionSpace, _geometry_basis_at
 

@@ -15,7 +15,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .elements import tabulate_element
-from .mesh import Mesh
 from .spaces import FunctionSpace, _geometry_basis_at
 
 __all__ = ["Geometry", "precompute_geometry"]

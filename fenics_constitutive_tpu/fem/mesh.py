@@ -12,7 +12,7 @@ arrays are produced by fem.kinematics.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -33,7 +33,6 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from ..ops import mandel
 
 __all__ = ["implicit_return_map"]
 

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from ..ops import mandel
 from ..ops.mandel import Constraint
-from .interfaces import Array, History, IncrSmallStrainModel, register_model
+from .interfaces import Array, IncrSmallStrainModel, register_model
 
 
 def _elastic_tangent_traced(E, nu, constraint: Constraint, dtype) -> Array:

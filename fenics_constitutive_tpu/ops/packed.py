@@ -27,7 +27,7 @@ baseline; tests/solver/test_packed.py pins the two engines together.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 
 import jax

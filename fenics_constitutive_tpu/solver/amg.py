@@ -27,7 +27,6 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from ..ops import mandel

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.packed import PackedGeometry, build_packed_geometry
+from ..ops.packed import build_packed_geometry
 from ..ops.structured import build_structured_geometry
 from . import linear
 

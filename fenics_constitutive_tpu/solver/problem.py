@@ -24,7 +24,6 @@ _incrementalunknowns.py, _history.py, _lawonsubmesh.py, maps.py):
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -37,10 +36,9 @@ from ..fem.assembly import (
     tangent_matvec,
 )
 from ..fem.bcs import DirichletBC, combine_bcs
-from ..fem.kinematics import Geometry, precompute_geometry
+from ..fem.kinematics import precompute_geometry
 from ..fem.spaces import FunctionSpace
 from ..models.interfaces import IncrSmallStrainModel
-from ..ops.mandel import Constraint
 from .linear import cg_solve
 
 __all__ = ["IncrSmallStrainProblem", "SimulationTime"]
@@ -180,6 +178,9 @@ class IncrSmallStrainProblem:
             self._linear_solve = jax.jit(
                 self._linear_solve_packed_impl, static_argnames=("cg_maxiter", "cg_flexible")
             )
+            self._newton_iter = jax.jit(
+                self._newton_iter_impl, static_argnames=("cg_maxiter", "cg_flexible")
+            )
         else:
             self._pk_geos = None
             self._n_qp = int(self._law_data[0][1].n_qp)
@@ -194,6 +195,9 @@ class IncrSmallStrainProblem:
             self._eval_assemble = jax.jit(self._eval_assemble_impl)
             self._linear_solve = jax.jit(
                 self._linear_solve_impl, static_argnames=("cg_maxiter", "cg_flexible")
+            )
+            self._newton_iter = jax.jit(
+                self._newton_iter_impl, static_argnames=("cg_maxiter", "cg_flexible")
             )
 
     # -- AoS tabulated data (observation surface; built lazily so the packed
@@ -377,6 +381,70 @@ class IncrSmallStrainProblem:
         )
         return delta, k
 
+    def _newton_iter_impl(
+        self, models, geom, u, u_prev, stress_prev, histories, f_ext, t, dt,
+        r, tangents, r_norm, free, cg_rtol, cg_maxiter, cg_flexible=False,
+    ):
+        """ONE full Newton iteration as ONE XLA program: linear solve +
+        backtracking line search (fixed halving schedule under
+        ``lax.while_loop``) + re-evaluation at the accepted iterate.
+
+        The line search evaluates only as many candidates as it needs and
+        never leaves the device — previously each halving was a separate
+        eval_assemble dispatch with a host sync; now the common case (full
+        step decreases the residual) costs exactly one eval_assemble and one
+        linear solve per iteration, and the accepted candidate's evaluation
+        is REUSED as the next iteration's residual/tangent instead of being
+        recomputed at the loop top.
+        """
+        eng_solve = (
+            self._linear_solve_packed_impl
+            if self.engine == "packed"
+            else self._linear_solve_impl
+        )
+        eng_eval = (
+            self._eval_assemble_packed_impl
+            if self.engine == "packed"
+            else self._eval_assemble_impl
+        )
+        delta, k = eng_solve(
+            geom, tangents, r, free, cg_rtol, cg_maxiter, cg_flexible
+        )
+
+        def try_at(scale):
+            u_try = u - scale * delta
+            r_t, s_t, tg_t, h_t = eng_eval(
+                models, geom, u_try, u_prev, stress_prev, histories,
+                f_ext, t, dt,
+            )
+            rn_t = jnp.linalg.norm(jnp.where(free, r_t, 0.0))
+            return u_try, r_t, rn_t, s_t, tg_t, h_t
+
+        full = try_at(jnp.asarray(1.0, u.dtype))
+
+        # halve while the candidate does not decrease ||r||, down to 1/8
+        def cond(carry):
+            scale, cand = carry
+            return (cand[2] >= r_norm) & (scale > 0.2)
+
+        def body(carry):
+            scale, _ = carry
+            scale = scale * 0.5
+            return scale, try_at(scale)
+
+        _, cand = jax.lax.while_loop(
+            cond, body, (jnp.asarray(1.0, u.dtype), full)
+        )
+        # nothing helped -> keep the FULL Newton step (trust the model; the
+        # reference has no safeguard at all and its gentle ramps never need
+        # one, SURVEY §5.3)
+        accepted = cand[2] < r_norm
+        out = jax.tree.map(
+            lambda a, b: jnp.where(accepted, a, b), cand, full
+        )
+        u_new, r_new, rn_new, s_new, tg_new, h_new = out
+        return u_new, r_new, rn_new, s_new, tg_new, h_new, k
+
     # -- public API -----------------------------------------------------------
     def solve(
         self,
@@ -411,60 +479,47 @@ class IncrSmallStrainProblem:
         # geometry argument differ (packed SoA engines vs reference-parity AoS)
         geom = self._pk_geos if self.engine == "packed" else self._law_data
 
+        # BC lift once up front: the Newton correction is zero on constrained
+        # dofs (matvec is identity there, RHS zeroed), so u keeps satisfying
+        # the BCs through every subsequent iterate
         u = self.u
-        converged = False
+        if len(bc_dofs):
+            u = u.at[bc_dofs_j].set(bc_vals_j)
+        r, stress_new, tangents, hists_new = self._eval_assemble(
+            self._models, geom, u, self.u_prev, self._stress_prev,
+            self._histories, self.f_ext, t, dt,
+        )
+        r_norm = float(jnp.linalg.norm(jnp.where(free, r, 0.0)))
+        r0_norm = r_norm
+        converged = r_norm <= max(atol, rtol * r0_norm)
         niter = 0
-        r0_norm = None
-        for it in range(max_iter + 1):
-            if len(bc_dofs):
-                u = u.at[bc_dofs_j].set(bc_vals_j)
-            r, stress_new, tangents, hists_new = self._eval_assemble(
-                self._models,
-                geom,
-                u,
-                self.u_prev,
-                self._stress_prev,
-                self._histories,
-                self.f_ext,
-                t,
-                dt,
+        # one host sync per iteration (the convergence test); the linear
+        # solve, the backtracking line search, and the accepted iterate's
+        # evaluation all run inside the single jitted _newton_iter program
+        while not converged and niter < max_iter:
+            u, r, rn, stress_new, tangents, hists_new, _k = self._newton_iter(
+                self._models, geom, u, self.u_prev, self._stress_prev,
+                self._histories, self.f_ext, t, dt, r, tangents,
+                jnp.asarray(r_norm, u.dtype), free,
+                cg_rtol, cg_maxiter=cg_maxiter, cg_flexible=cg_flexible,
             )
-            r_norm = float(jnp.linalg.norm(jnp.where(free, r, 0.0)))
-            if r0_norm is None:
-                r0_norm = r_norm
-            if r_norm <= max(atol, rtol * r0_norm):
-                converged = True
-                break
-            if it == max_iter:
-                break
-            delta, _ = self._linear_solve(
-                geom, tangents, r, free, cg_rtol, cg_maxiter=cg_maxiter,
-                cg_flexible=cg_flexible,
-            )
-            # backtracking line search: full Newton steps can overshoot badly
-            # on stiff hardening (the reference has no safeguard — its tests
-            # only ramp loads gently); try halved steps until the residual
-            # decreases, keeping the full step if nothing helps.
-            u_candidate = None
-            for scale in (1.0, 0.5, 0.25, 0.125):
-                u_try = u - scale * delta
-                r_try, *_ = self._eval_assemble(
-                    self._models, geom, u_try, self.u_prev,
-                    self._stress_prev, self._histories, self.f_ext, t, dt,
-                )
-                r_try_norm = float(jnp.linalg.norm(jnp.where(free, r_try, 0.0)))
-                if u_candidate is None:
-                    u_candidate = u_try  # default: full step
-                if r_try_norm < r_norm:
-                    u_candidate = u_try
-                    break
-            u = u_candidate
+            r_norm = float(rn)
             niter += 1
+            converged = r_norm <= max(atol, rtol * r0_norm)
 
         self.u = u
         self._stress_curr = stress_new
         self._histories_trial = hists_new
         self._tangents = tangents
+        # convergence record of THIS solve (A5 metrics; mirrors the packed
+        # engine's per-step stats dict) — r_norm is the accepted residual, so
+        # sharded-vs-serial runs can assert they satisfy the same equations
+        self.last_stats = {
+            "niter": niter,
+            "converged": converged,
+            "r_norm": r_norm,
+            "r0_norm": r0_norm,
+        }
         return niter, converged
 
     def update(self) -> None:

@@ -12,7 +12,6 @@ ops fuse into the surrounding einsums; collectives ride ICI when sharded).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -5,7 +5,6 @@ The reference gets CG2 from basix; here P2/Q2 are tabulated in
 fem/elements.py and dofs are identified by coordinate dedup (fem/spaces.py).
 """
 
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -14,7 +13,6 @@ from fenics_constitutive_tpu.fem import (
     FunctionSpace,
     unit_cube_mesh,
     unit_interval_mesh,
-    unit_square_mesh,
 )
 from fenics_constitutive_tpu.fem.elements import tabulate_element
 from fenics_constitutive_tpu.models import Constraint, LinearElasticityModel

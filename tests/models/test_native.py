@@ -6,7 +6,6 @@ every native model must match its pure-JAX twin to tight tolerance, and the
 foreign models must run inside a jitted solve via pure_callback.
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

@@ -10,7 +10,6 @@ the comparison is against the unsharded run of the identical program.
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from fenics_constitutive_tpu.fem import DirichletBC, FunctionSpace, unit_cube_mesh
 from fenics_constitutive_tpu.models import VonMises3D
@@ -132,13 +131,106 @@ def test_packed_engine_problem_sharded_matches_unsharded():
     # relative, hardening variable to machine precision
     np.testing.assert_allclose(s_sh, s_ref, rtol=1e-10, atol=1e-9)
     np.testing.assert_allclose(a_sh, a_ref, rtol=0, atol=1e-14)
-    # u is only conditioning-limited at the plastic transition: both runs
-    # satisfy the same residual to ~4e-13 but the consistent tangent has a
-    # near-null (stress-free) plastic mode, so different reduction orders
-    # land on different points of the solution set (classic plasticity
-    # uniqueness: stresses unique, displacements not)
+    # u is non-unique HERE BY CONSTRUCTION: this test runs q_degree=1, and
+    # 1-point-quadrature hexes have hourglass (zero-energy) modes the
+    # residual cannot see, so different reduction orders park different
+    # hourglass content in u while the physical fields match exactly
+    # (verified: the serial problem's residual evaluated at the sharded u is
+    # 7e-13 — both displacements solve the same equations). The
+    # unique-solution tests below prove the engine itself is deterministic
+    # to 1e-12 (reference MPI bar, test_solver_mpi.py:119).
     rel = np.linalg.norm(u_sh - u_ref) / np.linalg.norm(u_ref)
     assert rel < 5e-3, rel
+    # residual identity: BOTH runs' accepted residuals meet the same absolute
+    # bound, so the u discrepancy is solution-set null space, not error
+    assert p_ref.last_stats["r_norm"] <= 1e-9, p_ref.last_stats
+    assert p_sh.last_stats["r_norm"] <= 1e-9, p_sh.last_stats
+
+
+def _build_packed(law, n=7):
+    """Production (packed/structured) engine problem on an 8-divisible grid.
+
+    q_degree=2 (full 2x2x2 integration): 1-point-quadrature hexes have
+    hourglass (zero-energy) modes, under which u is non-unique and a
+    sharded-vs-serial comparison measures the null-space component, not the
+    engine (measured: q=1 rel_u ~2e-3 with stresses matching to 2e-15 and
+    the cross-evaluated residual at the other run's u at 7e-13; q=2 rel_u
+    7e-17)."""
+    mesh = unit_cube_mesh(n, n, n, "hex")  # (n+1)^3 = 512 grid nodes for n=7
+    V = FunctionSpace(mesh, 1, 3)
+
+    def close(axis, v):
+        return lambda x: np.isclose(x[:, axis], v)
+
+    bc_move = DirichletBC(V.locate_dofs_geometrical(close(0, 1.0), component=0), 0.0)
+    bcs = [
+        DirichletBC(V.locate_dofs_geometrical(close(0, 0.0), component=0), 0.0),
+        bc_move,
+        DirichletBC(V.locate_dofs_geometrical(close(1, 0.0), component=1), 0.0),
+        DirichletBC(V.locate_dofs_geometrical(close(2, 0.0), component=2), 0.0),
+    ]
+    problem = IncrSmallStrainProblem(law, V, bcs, 2)
+    assert problem.engine == "packed"
+    return problem, bc_move
+
+
+def _run_tight(problem, bc_move, steps):
+    """Drive load steps at extra-tight tolerances so both runs land on the
+    same Newton fixed point and only reduction-order rounding differs."""
+    for v in steps:
+        bc_move.value = v
+        niter, converged = problem.solve(rtol=1e-14, atol=1e-13, cg_rtol=1e-15)
+        assert converged
+        problem.update()
+    return np.asarray(problem.u)
+
+
+def test_packed_engine_elastic_sharded_1e12():
+    """PRODUCTION-engine determinism at the reference's MPI bar on a
+    unique-solution (elastic) workload: rel L2 on u < 1e-12 — the packed
+    engine's own version of test_solver_mpi.py:119's 1e-14 displacement
+    assertion (the 5e-3 bound in the plastic test above is the hourglass
+    null space of its q_degree=1 hexes, not engine noise; this test and the
+    hardening one below prove it)."""
+    from fenics_constitutive_tpu.models import Constraint, LinearElasticityModel
+
+    def law():
+        return LinearElasticityModel({"E": 42000.0, "nu": 0.3}, Constraint.FULL)
+
+    p_ref, mv_ref = _build_packed(law())
+    u_ref = _run_tight(p_ref, mv_ref, (0.01, 0.02))
+
+    p_sh, mv_sh = _build_packed(law())
+    shard_problem(p_sh, make_device_mesh(8))
+    assert not p_sh._stress_prev[0].sharding.is_fully_replicated
+    u_sh = _run_tight(p_sh, mv_sh, (0.01, 0.02))
+
+    rel = np.linalg.norm(u_sh - u_ref) / np.linalg.norm(u_ref)
+    assert rel < 1e-12, rel
+
+
+def test_packed_engine_hardening_sharded_1e12():
+    """Same bar on an ACTIVE-plasticity workload whose solution is unique:
+    strong linear hardening (h ~ mu/2) keeps the consistent tangent uniformly
+    SPD, so sharded and serial runs must agree to 1e-12 even past yield."""
+    from fenics_constitutive_tpu.models import MisesPlasticityLinearHardening3D
+
+    def law():
+        return MisesPlasticityLinearHardening3D(
+            {"mu": 80769.0, "kappa": 175000.0, "y_0": 1200.0, "h": 40000.0}
+        )
+
+    p_ref, mv_ref = _build_packed(law())
+    u_ref = _run_tight(p_ref, mv_ref, (0.01, 0.02, 0.03))
+
+    p_sh, mv_sh = _build_packed(law())
+    shard_problem(p_sh, make_device_mesh(8))
+    u_sh = _run_tight(p_sh, mv_sh, (0.01, 0.02, 0.03))
+
+    # plasticity actually happened (the test is not vacuous)
+    assert float(np.asarray(p_ref._histories[0]["alpha"]).max()) > 0.0
+    rel = np.linalg.norm(u_sh - u_ref) / np.linalg.norm(u_ref)
+    assert rel < 1e-12, rel
 
 
 def test_p2_lattice_engine_sharded_matches_unsharded():

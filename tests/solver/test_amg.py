@@ -8,7 +8,6 @@ iterations, on tet/tri meshes the geometric hierarchy cannot handle.
 """
 
 import numpy as np
-import pytest
 
 from fenics_constitutive_tpu.fem import (
     DirichletBC,

@@ -9,7 +9,6 @@ on the cone, and the JAX and native-C++ models agree through the solve.
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from fenics_constitutive_tpu.fem import DirichletBC, FunctionSpace, unit_cube_mesh
 from fenics_constitutive_tpu.models import DruckerPrager3D

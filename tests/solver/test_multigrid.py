@@ -7,7 +7,6 @@ reproduces the Jacobi-CG solution on a plastic tangent while using fewer
 iterations.
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

@@ -24,7 +24,6 @@ from fenics_constitutive_tpu.ops.packed import (
 )
 from fenics_constitutive_tpu.solver import IncrSmallStrainProblem
 from fenics_constitutive_tpu.solver.packed_step import (
-    PackedState,
     build_packed_problem,
     make_packed_step,
 )

@@ -5,7 +5,6 @@ and trip cap as packed_models), so residual, stress, tangent fields and
 history must agree to rounding from a genuinely plastic state.
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -5,10 +5,8 @@ kernel's numerics are pinned against the conv-based structured engine in
 Pallas interpret mode, with a genuinely plastic (spatially varying) tangent.
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 from jax.experimental import pallas as pl
 
 import fenics_constitutive_tpu.ops.pallas_matvec as pm

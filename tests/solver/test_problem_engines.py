@@ -3,7 +3,6 @@ IncrSmallStrainProblem runs the packed/structured production engines by
 default and matches the reference-parity AoS engine to near round-off.
 """
 
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
