@@ -1,0 +1,156 @@
+"""AMG-on-TPU benchmark: the unstructured-mesh production path on the chip.
+
+The headline bench (bench.py) runs the box-structured geometric-multigrid
+fast path. This script measures the SAME 1M-QP-class von Mises Newton step
+on a TETRAHEDRAL mesh — where the geometric hierarchy does not exist and the
+smoothed-aggregation AMG (solver/amg.py, the PETSc-AMG analog of the
+reference's petsc_options route, reference _solver.py:30-159) carries the
+Krylov solve — and reports:
+
+  * hierarchy build time (host, once per problem);
+  * ms per converged Newton step with preconditioner=AMG vs plain Jacobi;
+  * the same in-run deep-CG convergence verification as bench.py.
+
+Run:  PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_amg_tpu.py
+Env:  AMG_N (mesh n, default 35 -> 35^3*6=257k tets, 1.029M QPs at degree 2),
+      AMG_FIXED (timed CG count, default 45), AMG_STEPS (default 16).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fenics_constitutive_tpu.fem import DirichletBC, FunctionSpace, unit_cube_mesh
+from fenics_constitutive_tpu.fem.bcs import combine_bcs
+from fenics_constitutive_tpu.models import VonMises3D
+from fenics_constitutive_tpu.solver.amg import build_amg
+from fenics_constitutive_tpu.solver.packed_step import (
+    build_packed_problem,
+    make_packed_step,
+)
+
+MAT = {"p_ka": 175000.0, "p_mu": 80769.0, "p_y0": 1200.0,
+       "p_y00": 2500.0, "p_w": 200.0}
+
+
+def main() -> None:
+    n = int(os.environ.get("AMG_N", "35"))
+    fixed = int(os.environ.get("AMG_FIXED", "45"))
+    K = int(os.environ.get("AMG_STEPS", "16"))
+
+    mesh = unit_cube_mesh(n, n, n, "tetra")
+    V = FunctionSpace(mesh, 1, 3)
+
+    def close(axis, v):
+        return lambda x: np.isclose(x[:, axis], v)
+
+    bcs = [
+        DirichletBC(V.locate_dofs_geometrical(close(0, 0.0), component=0), 0.0),
+        DirichletBC(V.locate_dofs_geometrical(close(0, 1.0), component=0), 0.004),
+        DirichletBC(V.locate_dofs_geometrical(close(1, 0.0), component=1), 0.0),
+        DirichletBC(V.locate_dofs_geometrical(close(2, 0.0), component=2), 0.0),
+    ]
+    geos, models, state = build_packed_problem(V, VonMises3D(MAT), q_degree=2)
+    dtype = state.u.dtype
+    print(f"mesh: {mesh.num_cells} tets, {V.ndofs} dofs, "
+          f"{geos[0].N} QPs, dtype {dtype}", flush=True)
+
+    bc_dofs, bc_vals = combine_bcs(bcs)
+    free_np = np.ones(V.ndofs, bool)
+    free_np[np.asarray(bc_dofs)] = False
+
+    t0 = time.perf_counter()
+    amg = build_amg(V, MAT["p_mu"], MAT["p_ka"], free_np, q_degree=2)
+    t_build = time.perf_counter() - t0
+    print(f"AMG hierarchy build: {t_build:.1f} s "
+          f"({amg.n_levels} levels)", flush=True)
+
+    bc_dofs_j = jnp.asarray(bc_dofs)
+    bc_vals_j = jnp.asarray(bc_vals, dtype)
+    f_ext = jnp.zeros(V.ndofs, dtype)
+    dt = jnp.asarray(1.0, dtype)
+
+    def make_K(step_fn):
+        def stepsK(st, scales):
+            def body(carry, scale):
+                s_out, stats = step_fn(
+                    models, carry, bc_dofs_j, bc_vals_j * scale, f_ext, dt
+                )
+                return s_out, stats["r_norm"]
+
+            return jax.lax.scan(body, st, scales)
+
+        return jax.jit(stepsK)
+
+    def mkscales(j):
+        return jnp.asarray([2.0 + 1e-4 * j + 0.05 * i for i in range(K)], dtype)
+
+    results = {}
+    for name, pc, fk in (
+        ("amg", amg, fixed),
+        ("jacobi", None, int(os.environ.get("JAC_FIXED", "400"))),
+    ):
+        step = make_packed_step(
+            geos, max_newton=1, newton_rtol=0.0, newton_atol=0.0,
+            cg_rtol=1e-5, cg_maxiter=1000, preconditioner=pc,
+            cg_fixed_iters=fk,
+        )
+        jitted = jax.jit(
+            lambda st, s, step=step: step(
+                models, st, bc_dofs_j, bc_vals_j * s, f_ext, dt
+            )
+        )
+        st = state
+        for k in (0.5, 1.0, 1.5):
+            st, _ = jitted(st, jnp.asarray(k, dtype))
+        jax.block_until_ready(st.u)
+
+        runK = make_K(step)
+        _ = jax.block_until_ready(runK(st, mkscales(0)))  # compile
+        best, j = float("inf"), 0
+        for _w in range(3):
+            j += 1
+            t0 = time.perf_counter()
+            _, probes = runK(st, mkscales(j))
+            jax.block_until_ready(probes)
+            w = (time.perf_counter() - t0) / K
+            if w * K * 1000.0 >= 50.0:  # tunnel-memoization guard
+                best = min(best, w)
+        r_settled = float(np.asarray(probes)[-1])
+
+        # in-run convergence reference (deep CG from the same state/schedule)
+        deep = make_packed_step(
+            geos, max_newton=1, newton_rtol=0.0, newton_atol=0.0,
+            cg_rtol=1e-5, cg_maxiter=1000, preconditioner=pc,
+            cg_fixed_iters=fk * 2,
+        )
+        _, probes_ref = jax.block_until_ready(make_K(deep)(st, mkscales(j)))
+        r_ref = float(np.asarray(probes_ref)[-1])
+        ok = r_settled <= 1.02 * r_ref
+        results[name] = dict(
+            ms_per_step=round(best * 1000.0, 2), cg_iters=fk,
+            r_norm=round(r_settled, 4), r_norm_ref=round(r_ref, 4),
+            converged=ok,
+        )
+        print(f"{name}: {results[name]}", flush=True)
+
+    print(json.dumps({
+        "metric": "mises_tet_1MQP_newton_step_amg",
+        "n": n, "ndofs": V.ndofs, "n_qp": int(geos[0].N),
+        "hierarchy_build_s": round(t_build, 1),
+        **{f"{k}_{kk}": vv for k, v in results.items() for kk, vv in v.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()
