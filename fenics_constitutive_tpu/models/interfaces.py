@@ -27,7 +27,12 @@ import jax.numpy as jnp
 
 from ..ops.mandel import Constraint
 
-__all__ = ["IncrSmallStrainModel", "Constraint", "register_model"]
+__all__ = [
+    "IncrSmallStrainModel",
+    "Constraint",
+    "register_model",
+    "rotate_history",
+]
 
 Array = jnp.ndarray
 History = dict[str, Array] | None
@@ -80,6 +85,20 @@ class IncrSmallStrainModel(abc.ABC):
         """Name -> per-QP shape of each history variable: an int for vector-
         valued entries, a ``(rows, cols)`` tuple for matrix-valued ones —
         matching the reference contract (interfaces.py:134-144)."""
+
+    @property
+    def rotatable_history(self) -> frozenset[str]:
+        """Names of history entries attached to the material frame.
+
+        The analog of the reference's ``QDim::RotatableVector`` /
+        ``RotatableMatrix`` markers
+        (/root/reference/comfe-rs/src/interfaces.rs:39-67): entries declared
+        here must co-rotate with the material under a rotation increment
+        (objective rates / large-rotation stepping). Apply the rotation with
+        :func:`rotate_history`. Default: nothing rotates (the reference never
+        exercises rotation either; small-strain models are frame-fixed).
+        """
+        return frozenset()
 
     def init_history(self, n_qp: int, dtype=jnp.float64) -> History:
         """Allocate zero-initialized history arrays for ``n_qp`` quadrature points."""
@@ -195,3 +214,63 @@ def as_param_dict(parameters: dict[str, Any]) -> dict[str, Array]:
     constitutive kernels (a strongly-typed f64 parameter would silently
     promote every QP field to f64 — and break the f32 CG while_loop carry)."""
     return {k: jnp.asarray(float(v)) for k, v in parameters.items()}
+
+
+def rotate_history(model: IncrSmallStrainModel, history: History, R) -> History:
+    """Co-rotate a model's frame-attached history entries by ``R``.
+
+    The TPU-native implementation of the reference's rotatable-history
+    contract (``QDim::RotatableVector`` / ``RotatableMatrix``,
+    /root/reference/comfe-rs/src/interfaces.rs:39-67): entries named in
+    ``model.rotatable_history`` transform under a (per-QP or uniform)
+    rotation increment; everything else (scalars like hardening variables,
+    frame-free caches) passes through untouched.
+
+    Args:
+        model: the owning model (provides ``history_dim`` +
+            ``rotatable_history``).
+        history: AoS history pytree ``{name: [Q, ...entry_shape]}``.
+        R: rotation ``[g, g]`` (uniform) or ``[Q, g, g]`` (per-QP).
+
+    Transformation rules per declared entry shape:
+      * Mandel vectors (``dim == stress_strain_dim``): conjugation
+        ``mandel(R A R^T)`` via the exact Mandel<->matrix maps (norm- and
+        invariant-preserving — Mandel is an isometry).
+      * Geometric vectors (``dim == geometric_dim``): ``R v``.
+      * Matrix entries ``(g, g)``: ``R H R^T``.
+    """
+    if history is None or not model.rotatable_history:
+        return history
+    from ..ops import mandel as _mandel
+
+    c = model.constraint
+    s, g = c.stress_strain_dim, c.geometric_dim
+    hd = model.history_dim or {}
+    R = jnp.asarray(R)
+    if R.ndim == 2:
+        R = R[None]  # broadcast a uniform rotation over the QP batch
+
+    out = {}
+    for name, v in history.items():
+        if name not in model.rotatable_history:
+            out[name] = v
+            continue
+        dim = hd[name]
+        if isinstance(dim, tuple):
+            assert dim == (g, g), (
+                f"rotatable matrix history '{name}' must be ({g},{g}), got {dim}"
+            )
+            out[name] = jnp.einsum("qij,qjk,qlk->qil", R, v, R)
+        elif dim == s:
+            A = _mandel.mandel_to_matrix(v, c)
+            A = jnp.einsum("qij,qjk,qlk->qil", R, A, R)
+            out[name] = _mandel.matrix_to_mandel(A, c)
+        elif dim == g:
+            out[name] = jnp.einsum("qij,qj->qi", R, v)
+        else:
+            msg = (
+                f"rotatable history '{name}' has dim {dim}; expected the "
+                f"Mandel dim {s}, the geometric dim {g}, or a ({g},{g}) matrix"
+            )
+            raise ValueError(msg)
+    return out
