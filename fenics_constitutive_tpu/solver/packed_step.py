@@ -108,6 +108,7 @@ def make_packed_step(
     precond_dtype=None,
     cg_fixed_iters: int | None = None,
     eval_impl: str = "conv",
+    matmul_precision: str | None = None,
 ):
     """Build ``step(models, state, bc_dofs, bc_vals, f_ext, dt) -> (state', stats)``.
 
@@ -133,11 +134,18 @@ def make_packed_step(
     with build-time moduli is the robust choice; see MultigridPreconditioner
     .prepared for the equivalent warning about true-tangent smoothing.)
 
-    (High-precision residual assembly for the f32 P2 stall was tried and
-    measured useless: with residuals accumulated and measured in f64, Newton
-    still stalls at the same ~1e-2 relative level — the floor is in the f32
-    KRYLOV solve (the correction accuracy), not the residual accumulation.
-    Tight-tolerance P2 solves should enable x64; see docs/performance.md.)
+    ``matmul_precision``: per-step override of the TPU MXU precision for
+    every matmul/conv traced inside the step (``"highest"`` = true-f32
+    passes). ROOT CAUSE of the r2 "f32 P2 floor": XLA's DEFAULT f32
+    einsum/conv precision on TPU uses bfloat16 multiplies, so every matvec
+    perturbs the operator at bf16 epsilon and Krylov can never push the
+    true residual below ~eps_bf16 x cond. Measured on the 32^3 P2 problem
+    (scripts/ab_p2_precision.py, v5e): default floors at r/r0 1.6e-4,
+    "highest" reaches 3.8e-7 in PURE f32 at 1.9x the step cost (104 ->
+    193 ms). This also explains why f64 residual ASSEMBLY alone did not
+    help in r2 — the correction, not the residual, carried the bf16 error.
+    The P1 bench path keeps the default (its verified residual envelope
+    passes without it).
     """
     if eval_impl not in ("conv", "pallas"):
         msg = f"eval_impl must be 'conv' or 'pallas', got {eval_impl!r}"
@@ -288,8 +296,18 @@ def make_packed_step(
         }
         return new_state, stats
 
+    def _with_precision(fn):
+        if matmul_precision is None:
+            return fn
+
+        def wrapped(*args, **kwargs):
+            with jax.default_matmul_precision(matmul_precision):
+                return fn(*args, **kwargs)
+
+        return wrapped
+
     if not grid_major:
-        return step_generic
+        return _with_precision(step_generic)
 
     # -- grid-major step (single-law structured/lattice engines) --------------
     # The whole Newton loop runs on GRID-MAJOR dof vectors: strain/residual
@@ -421,4 +439,4 @@ def make_packed_step(
         }
         return new_state, stats
 
-    return step_gm
+    return _with_precision(step_gm)

@@ -80,6 +80,10 @@ class IncrSmallStrainProblem:
             to ``solver.amg.build_amg`` (``aggregation``, ``strength_theta``,
             ``geometric_factor``, ``nu``, ...). The PackedSimulation analog
             is ``mg_options``.
+        matmul_precision: MXU precision for the jitted cores ("highest" =
+            true-f32 passes; needed for tight tolerances on f32 P2 — the
+            TPU default multiplies f32 matmuls/convs in bfloat16; see
+            packed_step.make_packed_step's docstring for the measurements).
     """
 
     def __init__(
@@ -93,6 +97,7 @@ class IncrSmallStrainProblem:
         engine: str = "auto",
         preconditioner=None,
         pc_options: dict | None = None,
+        matmul_precision: str | None = None,
     ):
         mesh = space.mesh
         if isinstance(laws, IncrSmallStrainModel):
@@ -161,6 +166,17 @@ class IncrSmallStrainProblem:
                     **(pc_options or {}),
                 )
 
+        def _prec(fn):
+            # bind the MXU precision at trace time (contexts wrap the trace)
+            if matmul_precision is None:
+                return fn
+
+            def wrapped(*args, **kwargs):
+                with jax.default_matmul_precision(matmul_precision):
+                    return fn(*args, **kwargs)
+
+            return wrapped
+
         if engine == "packed":
             from .packed_step import build_packed_problem
 
@@ -174,12 +190,10 @@ class IncrSmallStrainProblem:
             self._stress_curr = pstate.stress  # trial
             self._histories = pstate.histories  # committed, per-law packed
             self._histories_trial = pstate.histories
-            self._eval_assemble = jax.jit(self._eval_assemble_packed_impl)
+            self._eval_assemble = jax.jit(_prec(self._eval_assemble_packed_impl))
             self._linear_solve = jax.jit(
-                self._linear_solve_packed_impl, static_argnames=("cg_maxiter", "cg_flexible")
-            )
-            self._newton_iter = jax.jit(
-                self._newton_iter_impl, static_argnames=("cg_maxiter", "cg_flexible")
+                _prec(self._linear_solve_packed_impl),
+                static_argnames=("cg_maxiter", "cg_flexible"),
             )
         else:
             self._pk_geos = None
@@ -192,13 +206,15 @@ class IncrSmallStrainProblem:
                 for model, cells in zip(self._models, self._law_cells)
             )
             self._histories_trial = self._histories
-            self._eval_assemble = jax.jit(self._eval_assemble_impl)
+            self._eval_assemble = jax.jit(_prec(self._eval_assemble_impl))
             self._linear_solve = jax.jit(
-                self._linear_solve_impl, static_argnames=("cg_maxiter", "cg_flexible")
+                _prec(self._linear_solve_impl),
+                static_argnames=("cg_maxiter", "cg_flexible"),
             )
-            self._newton_iter = jax.jit(
-                self._newton_iter_impl, static_argnames=("cg_maxiter", "cg_flexible")
-            )
+        self._newton_iter = jax.jit(
+            _prec(self._newton_iter_impl),
+            static_argnames=("cg_maxiter", "cg_flexible"),
+        )
 
     # -- AoS tabulated data (observation surface; built lazily so the packed
     #    engine does not pay for [C, Q, n, g] gradient tables it never reads) --

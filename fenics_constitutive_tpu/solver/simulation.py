@@ -57,6 +57,13 @@ class PackedSimulation:
         eval_impl: "conv" (XLA) or "pallas" (fused strain->return-map->
             divergence Mosaic kernel; VonMises3D on the degree-1 structured
             engine only — see ops/pallas_eval.py).
+        matmul_precision: MXU precision for every matmul/conv in the step
+            (e.g. "highest" = true-f32 passes). REQUIRED for tight
+            tolerances on f32 P2 problems: the TPU's default f32 precision
+            multiplies in bfloat16, flooring the achievable Newton residual
+            at ~1.6e-4 relative; "highest" reaches 3.8e-7 at ~1.9x step
+            cost (measured, scripts/ab_p2_precision.py + make_packed_step
+            docstring).
         newton/cg options are forwarded to make_packed_step.
     """
 
@@ -83,6 +90,7 @@ class PackedSimulation:
         mg_options: dict | None = None,
         eval_impl: str = "conv",
         f_ext=None,
+        matmul_precision: str | None = None,
     ):
         self.space = space
         self.bcs = bcs
@@ -227,6 +235,7 @@ class PackedSimulation:
             cg_flexible=cg_flexible,
             cg_reduce_dtype=cg_reduce_dtype,
             eval_impl=eval_impl,
+            matmul_precision=matmul_precision,
         )
         self._max_newton = max_newton
         self._newton_rtol = newton_rtol

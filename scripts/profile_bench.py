@@ -6,7 +6,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from fenics_constitutive_tpu.fem import DirichletBC, FunctionSpace, unit_cube_mesh
+from fenics_constitutive_tpu.fem import FunctionSpace, unit_cube_mesh
 from fenics_constitutive_tpu.models import VonMises3D
 from fenics_constitutive_tpu.ops.packed import (
     packed_grad,
