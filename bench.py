@@ -171,7 +171,10 @@ def main() -> None:
     # SLOWER here — Mosaic pays lane rotations for the misaligned corner
     # shifts that XLA's pad/slice fusion handles well; kept as an option.)
     mg = build_multigrid(
-        geos[0], 80769.0, 175000.0, free0, nu=3, nu_coarse=2, coarse_direct=True
+        geos[0], 80769.0, 175000.0, free0,
+        nu=int(os.environ.get("BENCH_NU", "3")),
+        nu_coarse=int(os.environ.get("BENCH_NU_COARSE", "2")),
+        coarse_direct=True,
     )
     # CG runs a fixed 9-iteration fori_loop (no per-iteration convergence
     # dot / while-loop sync). Every run re-verifies the count against the

@@ -27,6 +27,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..ops import mandel
@@ -343,8 +344,13 @@ class AmgPreconditioner:
     """Callable z = M(r): one V(nu,nu) cycle of the elastic SA hierarchy.
 
     Levels hold ELL operators (A), transfers (P and R = P^T), inverse Jacobi
-    diagonals, and a dense inverse at the coarsest level. All arrays are
-    device constants closed over by the jitted solve.
+    diagonals, and a dense inverse at the coarsest level. Registered as a
+    pytree (arrays = leaves), so it can be passed as a jit ARGUMENT instead
+    of closed over: closure capture embeds the level arrays as HLO
+    constants, which at production sizes bloats the executable (and
+    overflows remote-compile request limits — measured: 140k dofs of ELL
+    levels is ~90 MB of constants); as an argument the arrays stay
+    device-resident and the program is size-independent.
     """
 
     A_ell: tuple  # per level (vals, cols)
@@ -378,6 +384,13 @@ class AmgPreconditioner:
     def __call__(self, r):
         dt = self.coarse_inv.dtype  # single-level problems have no A_ell
         return self._cycle(0, r.astype(dt)).astype(r.dtype)
+
+
+jax.tree_util.register_dataclass(
+    AmgPreconditioner,
+    data_fields=["A_ell", "P_ell", "R_ell", "dinv", "coarse_inv"],
+    meta_fields=["omega", "nu", "n_levels"],
+)
 
 
 def build_amg(

@@ -80,48 +80,49 @@ def main() -> None:
     f_ext = jnp.zeros(V.ndofs, dtype)
     dt = jnp.asarray(1.0, dtype)
 
-    def make_K(step_fn):
-        def stepsK(st, scales):
+    def mkscales(j):
+        return jnp.asarray([2.0 + 1e-4 * j + 0.05 * i for i in range(K)], dtype)
+
+    # geometry (per-QP dN/dofmaps at 1M QPs) and the AMG levels are passed
+    # as jit ARGUMENTS, not closed over: closure capture embeds them as HLO
+    # constants, which overflows the remote-compile request (measured HTTP
+    # 413 at 140k dofs) and bloats the executable. AmgPreconditioner and the
+    # packed geometries are registered pytrees, so they cross jit cleanly.
+    def make_step(fk):
+        def one(geos_a, pc_a, st, scale):
+            step = make_packed_step(
+                geos_a, max_newton=1, newton_rtol=0.0, newton_atol=0.0,
+                cg_rtol=1e-5, cg_maxiter=1000, preconditioner=pc_a,
+                cg_fixed_iters=fk,
+            )
+            return step(models, st, bc_dofs_j, bc_vals_j * scale, f_ext, dt)
+
+        def runK(geos_a, pc_a, st, scales):
             def body(carry, scale):
-                s_out, stats = step_fn(
-                    models, carry, bc_dofs_j, bc_vals_j * scale, f_ext, dt
-                )
+                s_out, stats = one(geos_a, pc_a, carry, scale)
                 return s_out, stats["r_norm"]
 
             return jax.lax.scan(body, st, scales)
 
-        return jax.jit(stepsK)
-
-    def mkscales(j):
-        return jnp.asarray([2.0 + 1e-4 * j + 0.05 * i for i in range(K)], dtype)
+        return jax.jit(one), jax.jit(runK)
 
     results = {}
     for name, pc, fk in (
         ("amg", amg, fixed),
         ("jacobi", None, int(os.environ.get("JAC_FIXED", "400"))),
     ):
-        step = make_packed_step(
-            geos, max_newton=1, newton_rtol=0.0, newton_atol=0.0,
-            cg_rtol=1e-5, cg_maxiter=1000, preconditioner=pc,
-            cg_fixed_iters=fk,
-        )
-        jitted = jax.jit(
-            lambda st, s, step=step: step(
-                models, st, bc_dofs_j, bc_vals_j * s, f_ext, dt
-            )
-        )
+        jitted, runK = make_step(fk)
         st = state
         for k in (0.5, 1.0, 1.5):
-            st, _ = jitted(st, jnp.asarray(k, dtype))
+            st, _ = jitted(geos, pc, st, jnp.asarray(k, dtype))
         jax.block_until_ready(st.u)
 
-        runK = make_K(step)
-        _ = jax.block_until_ready(runK(st, mkscales(0)))  # compile
+        _ = jax.block_until_ready(runK(geos, pc, st, mkscales(0)))  # compile
         best, j = float("inf"), 0
         for _w in range(3):
             j += 1
             t0 = time.perf_counter()
-            _, probes = runK(st, mkscales(j))
+            _, probes = runK(geos, pc, st, mkscales(j))
             jax.block_until_ready(probes)
             w = (time.perf_counter() - t0) / K
             if w * K * 1000.0 >= 50.0:  # tunnel-memoization guard
@@ -129,12 +130,10 @@ def main() -> None:
         r_settled = float(np.asarray(probes)[-1])
 
         # in-run convergence reference (deep CG from the same state/schedule)
-        deep = make_packed_step(
-            geos, max_newton=1, newton_rtol=0.0, newton_atol=0.0,
-            cg_rtol=1e-5, cg_maxiter=1000, preconditioner=pc,
-            cg_fixed_iters=fk * 2,
+        _, runK_deep = make_step(fk * 2)
+        _, probes_ref = jax.block_until_ready(
+            runK_deep(geos, pc, st, mkscales(j))
         )
-        _, probes_ref = jax.block_until_ready(make_K(deep)(st, mkscales(j)))
         r_ref = float(np.asarray(probes_ref)[-1])
         ok = r_settled <= 1.02 * r_ref
         results[name] = dict(

@@ -16,6 +16,7 @@ EXAMPLES = sorted(p.parent.name for p in REPO.glob("examples/*/run_example.py"))
 
 
 @pytest.mark.parametrize("name", EXAMPLES)
+@pytest.mark.slow
 def test_example_runs(name, tmp_path):
     script = REPO / "examples" / name / "run_example.py"
     res = subprocess.run(

@@ -72,6 +72,7 @@ def test_cg2_uniaxial_stress_bar():
 
 
 @pytest.mark.parametrize(("cell_type", "q_degree"), [("tetra", 2), ("hex", 4)])
+@pytest.mark.slow
 def test_cg2_cube_stretch(cell_type, q_degree):
     """BASELINE config: 2x2x2 unit cube, CG-2, uniaxial stretch."""
     mesh = unit_cube_mesh(2, 2, 2, cell_type)

@@ -62,6 +62,7 @@ def _solve_path(law):
 @pytest.mark.skipif(
     __import__("shutil").which("gcc") is None, reason="no C compiler"
 )
+@pytest.mark.slow
 def test_c_plugin_matches_jax_mises():
     from run_example import MisesC3D
 

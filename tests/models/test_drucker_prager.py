@@ -56,6 +56,7 @@ def test_elastic_step_matches_hooke():
         (DruckerPrager3D, dp_params(b_flow=0.0)),
     ],
 )
+@pytest.mark.slow
 def test_plastic_return_lands_on_yield_surface(cls, params):
     law = cls(params)
     hist = law.init_history(3)
@@ -132,6 +133,7 @@ def test_jit_and_mixed_batch():
     assert a[0] == 0.0 and a[1] > 0.0
 
 
+@pytest.mark.slow
 def test_consistent_tangent_matches_fd():
     """Consistent tangent == finite-difference d sigma / d eps through the
     return map (validates the (J^-1 C) block extraction)."""

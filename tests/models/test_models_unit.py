@@ -261,6 +261,7 @@ def test_plane_strain_from_3d_wrapper():
 
 
 @pytest.mark.parametrize("wrapper_cls", [UniaxialStrainFrom3D, PlaneStrainFrom3D])
+@pytest.mark.slow
 def test_from3d_wrapper_multistep_plasticity_equivalence(wrapper_cls):
     """Committed lateral stresses must persist across steps (ADVICE r1, high).
 

@@ -15,6 +15,7 @@ from fenics_constitutive_tpu.fem import DirichletBC, FunctionSpace, unit_cube_me
 from fenics_constitutive_tpu.models import VonMises3D
 from fenics_constitutive_tpu.parallel import make_device_mesh, shard_problem
 from fenics_constitutive_tpu.solver import IncrSmallStrainProblem
+import pytest
 
 MAT = {
     "p_ka": 175000.0,
@@ -53,6 +54,7 @@ def run(problem, bc_move, n_steps=10):
     return np.asarray(problem.u)
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device():
     assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
 
@@ -82,6 +84,7 @@ def test_sharded_state_stays_sharded():
     assert not sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_packed_engine_problem_sharded_matches_unsharded():
     """shard_problem on the DEFAULT (packed) engine: an interactive solve
     with all SoA arrays sharded over 8 devices matches the unsharded run."""
@@ -185,6 +188,7 @@ def _run_tight(problem, bc_move, steps):
     return np.asarray(problem.u)
 
 
+@pytest.mark.slow
 def test_packed_engine_elastic_sharded_1e12():
     """PRODUCTION-engine determinism at the reference's MPI bar on a
     unique-solution (elastic) workload: rel L2 on u < 1e-12 — the packed
@@ -209,6 +213,7 @@ def test_packed_engine_elastic_sharded_1e12():
     assert rel < 1e-12, rel
 
 
+@pytest.mark.slow
 def test_packed_engine_hardening_sharded_1e12():
     """Same bar on an ACTIVE-plasticity workload whose solution is unique:
     strong linear hardening (h ~ mu/2) keeps the consistent tangent uniformly
@@ -233,6 +238,7 @@ def test_packed_engine_hardening_sharded_1e12():
     assert rel < 1e-12, rel
 
 
+@pytest.mark.slow
 def test_p2_lattice_engine_sharded_matches_unsharded():
     """GSPMD sharding of the degree-2 lattice conv engine: cell QP fields
     shard on the trailing cell axis; XLA partitions the stride-2 convs."""

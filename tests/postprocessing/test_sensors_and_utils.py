@@ -56,6 +56,7 @@ def test_displacement_sensor_linear_field():
     assert vals[1, 0] == pytest.approx(0.02, rel=1e-12)
 
 
+@pytest.mark.slow
 def test_qp_sensor_reads_stress():
     problem, bc_move, V = make_problem()
     bc_move.value = 0.02
@@ -70,6 +71,7 @@ def test_qp_sensor_reads_stress():
     )
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     """Committed state is a resumable snapshot (SURVEY §5.4): a restored run
     continues bit-identically."""

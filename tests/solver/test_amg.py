@@ -20,6 +20,7 @@ from fenics_constitutive_tpu.models import LinearElasticityModel, VonMises3D
 from fenics_constitutive_tpu.ops.mandel import Constraint
 from fenics_constitutive_tpu.solver import PackedSimulation
 from fenics_constitutive_tpu.solver.amg import build_amg
+import pytest
 
 MAT = {
     "p_ka": 175000.0,
@@ -46,6 +47,7 @@ def _cube_bcs(V):
     return bcs, bc_move
 
 
+@pytest.mark.slow
 def test_amg_tet_plasticity_matches_jacobi():
     """Tet-mesh plasticity: AMG-CG reaches the Jacobi-CG solution in far
     fewer iterations (the mesh the geometric V-cycle cannot handle)."""
@@ -186,6 +188,7 @@ def test_amg_geometric_aggregation_matches_graph():
     )
 
 
+@pytest.mark.slow
 def test_amg_on_structured_mesh_via_simulation():
     """Explicit 'amg' on a box-hex mesh goes through the grid-major wrap."""
     mesh = unit_cube_mesh(4, 4, 4, "hex")
@@ -209,6 +212,7 @@ def test_amg_on_structured_mesh_via_simulation():
     )
 
 
+@pytest.mark.slow
 def test_amg_on_interactive_problem():
     """IncrSmallStrainProblem(preconditioner='amg') matches the default
     Jacobi path on a tet mesh, with far fewer CG iterations."""
@@ -234,6 +238,7 @@ def test_amg_on_interactive_problem():
     )
 
 
+@pytest.mark.slow
 def test_amg_anisotropic_slab_semi_coarsening():
     """Stretched (25:1) tet slab: both anisotropy mechanisms — strength-of-
     connection dropping on the graph walk and per-axis cell extents in the

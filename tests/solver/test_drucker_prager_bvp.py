@@ -13,6 +13,7 @@ import numpy as np
 from fenics_constitutive_tpu.fem import DirichletBC, FunctionSpace, unit_cube_mesh
 from fenics_constitutive_tpu.models import DruckerPrager3D
 from fenics_constitutive_tpu.solver import IncrSmallStrainProblem
+import pytest
 
 PARAMS = {"mu": 80769.0, "kappa": 175000.0, "a": 1000.0, "b": 0.15, "b_flow": 0.15}
 
@@ -41,6 +42,7 @@ def solve_bar(sign, n_steps=8, max_disp=0.008):
     return problem, law
 
 
+@pytest.mark.slow
 def test_tension_yields_on_cone():
     problem, law = solve_bar(+1)
     stress = jnp.asarray(np.asarray(problem.stress_0).reshape(-1, 6))
@@ -51,6 +53,7 @@ def test_tension_yields_on_cone():
     assert alpha.max() > 0  # plasticity happened in tension
 
 
+@pytest.mark.slow
 def test_pressure_dependence():
     """Same |displacement|: tension yields (f ~ 0 active), compression stays
     further inside the cone (higher |I1| raises strength for b > 0)."""
@@ -61,6 +64,7 @@ def test_pressure_dependence():
     assert a_t > a_c  # more plastic flow in tension
 
 
+@pytest.mark.slow
 def test_native_matches_jax_through_solve():
     from fenics_constitutive_tpu.native import NativeModel, ensure_built
 

@@ -147,6 +147,7 @@ def test_elastic_matvec_folded_equivalence(setup):
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-12, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_chebyshev_smoother_cg(setup):
     """Chebyshev-smoothed V-cycle: correct solution, competitive iterations.
 
@@ -183,6 +184,7 @@ def test_chebyshev_smoother_cg(setup):
     assert int(k_c) <= int(k_j), (int(k_c), int(k_j))
 
 
+@pytest.mark.slow
 def test_direct_coarse_solve_cg(setup):
     """coarse_direct=True (dense inverse at the coarsest level) yields the
     same CG solution with no more iterations than iterative coarse smoothing."""

@@ -125,6 +125,7 @@ def test_packed_ops_match_aos(cell_type):
 
 
 @pytest.mark.parametrize("cell_type", ["hex", "tetra"])
+@pytest.mark.slow
 def test_packed_step_matches_problem_solve(cell_type):
     """Full multi-step plasticity: packed jitted step == AoS interactive solve."""
     import jax
@@ -217,6 +218,7 @@ def test_uniform_folded_operators_match_general_path(degree, q):
     np.testing.assert_allclose(d_fast, d_gen, rtol=1e-11, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_lattice_engine_matches_packed_general_path():
     """The degree-2 lattice stencil engine (static strided slices, dense
     [k, Q, C] cell fields) is numerically the general packed path."""
@@ -276,6 +278,7 @@ def test_lattice_engine_matches_packed_general_path():
     np.testing.assert_allclose(g_lat, g_pk, rtol=1e-12, atol=1e-15)
 
 
+@pytest.mark.slow
 def test_f32_problem_stays_f32_under_x64():
     """Model parameters are WEAK-typed scalars: an f32 problem in this
     x64-enabled session must not promote to f64 anywhere in the step.

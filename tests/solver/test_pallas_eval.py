@@ -13,6 +13,7 @@ from fenics_constitutive_tpu.models import Constraint, VonMises3D
 from fenics_constitutive_tpu.models import packed_models  # noqa: F401
 from fenics_constitutive_tpu.ops.pallas_eval import build_pallas_eval
 from fenics_constitutive_tpu.ops.structured import build_structured_geometry
+import pytest
 
 MAT = {
     "p_ka": 175000.0,
@@ -23,6 +24,7 @@ MAT = {
 }
 
 
+@pytest.mark.slow
 def test_pallas_eval_matches_xla():
     mesh = unit_cube_mesh(6, 6, 6, "hex")
     V = FunctionSpace(mesh, 1, 3)
@@ -69,6 +71,7 @@ def test_pallas_eval_matches_xla():
     close(nf, jnp.broadcast_to(tg_ref.n, nf.shape), "n")
 
 
+@pytest.mark.slow
 def test_pallas_eval_step_path():
     """make_packed_step(eval_impl='pallas') solves to the same state."""
     from fenics_constitutive_tpu.fem import DirichletBC

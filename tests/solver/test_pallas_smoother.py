@@ -13,6 +13,7 @@ from fenics_constitutive_tpu.fem.bcs import combine_bcs
 from fenics_constitutive_tpu.models import Constraint
 from fenics_constitutive_tpu.ops.structured import build_structured_geometry
 from fenics_constitutive_tpu.solver.multigrid import build_multigrid
+import pytest
 
 MU, KAPPA = 80769.0, 175000.0
 
@@ -35,6 +36,7 @@ def _setup(n=6):
     return geo, free
 
 
+@pytest.mark.slow
 def test_fused_vcycle_matches_xla():
     geo, free = _setup()
     mg_ref = build_multigrid(geo, MU, KAPPA, free)

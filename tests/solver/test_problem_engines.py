@@ -63,6 +63,7 @@ def test_hex_interactive_uses_structured_engine():
 
 
 @pytest.mark.parametrize("cell_type", ["hex", "tetra"])
+@pytest.mark.slow
 def test_packed_engine_matches_aos_plasticity(cell_type):
     """Multi-step plastic solves agree between engines to near round-off."""
     _, V, bcs, bc_move = _setup(cell_type)
@@ -82,6 +83,7 @@ def test_packed_engine_matches_aos_plasticity(cell_type):
                                rtol=1e-7, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_packed_engine_multimaterial():
     """Two laws on cell subsets run the packed engine and match AoS."""
     mesh, V, bcs, bc_move = _setup("hex")

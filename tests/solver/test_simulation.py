@@ -96,6 +96,7 @@ def test_solve_schedule_matches_sequential():
     assert sim_sched.time == pytest.approx(sim_seq.time)
 
 
+@pytest.mark.slow
 def test_convergence_reporting_semantics():
     """converged reflects the residual tolerance, not "stopped before cap".
 
@@ -165,6 +166,7 @@ ALL_LAWS = [
 
 
 @pytest.mark.parametrize("make_law", ALL_LAWS)
+@pytest.mark.slow
 def test_every_model_on_production_path(make_law):
     """PackedSimulation accepts any IncrSmallStrainModel, like the reference
     solver accepts any law (_solver.py:54-73): hot models via fused SoA
@@ -253,6 +255,7 @@ def _creep_bvp(dim, mat):
 
 @pytest.mark.parametrize("mat", [SpringKelvinModel, SpringMaxwellModel])
 @pytest.mark.parametrize("dim", [2, 3])
+@pytest.mark.slow
 def test_creep_on_production_engine(dim, mat):
     """Stress-controlled creep (reference test_viscoelasticity.py:369-527) on
     PackedSimulation: traction f_ext drives the load, matching the interactive
@@ -310,6 +313,7 @@ def test_creep_on_production_engine(dim, mat):
     assert viscostrain[-1] > 0
 
 
+@pytest.mark.slow
 def test_solve_schedule_f_ext_scales():
     """solve_schedule with per-step external-load scales matches sequential
     solve() calls that mutate sim.f_ext (traction ramp), for both the [K]
@@ -425,6 +429,7 @@ def test_substepping_restores_state_on_total_failure():
     assert sim.time == t_before
 
 
+@pytest.mark.slow
 def test_eval_impl_pallas_and_mg_options():
     """eval_impl='pallas' (interpret mode off-TPU) and mg_options overrides
     plumb through PackedSimulation to the same solution as the defaults."""
