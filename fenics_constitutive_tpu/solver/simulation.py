@@ -223,20 +223,37 @@ class PackedSimulation:
         ):
             cg_reduce_dtype = jnp.float64
 
-        step = make_packed_step(
-            geos,
+        step_opts = dict(
             newton_rtol=newton_rtol,
             newton_atol=newton_atol,
             max_newton=max_newton,
             cg_rtol=cg_rtol,
             cg_maxiter=cg_maxiter,
-            preconditioner=pc,
             matvec_impl=matvec_impl,
             cg_flexible=cg_flexible,
             cg_reduce_dtype=cg_reduce_dtype,
             eval_impl=eval_impl,
             matmul_precision=matmul_precision,
         )
+        if structured:
+            # small folded-constant operators: closure capture is cheap, and
+            # the Pallas kernels need concrete geometry at build time
+            step = make_packed_step(geos, preconditioner=pc, **step_opts)
+            self._operands = ()
+        else:
+            # the gather-path geometry (per-QP dN/dofmaps) and AMG levels are
+            # O(problem-size) arrays: build the step INSIDE the trace so they
+            # cross jit as ARGUMENTS (pytrees) instead of being baked into
+            # the program as HLO constants — constant capture bloats the
+            # executable and overflows remote-compile request limits at
+            # production sizes (see solver/amg.AmgPreconditioner docstring)
+            def step(models, st, bc_dofs, bc_vals, f_ext, dt, geos_a, pc_a):
+                inner = make_packed_step(
+                    geos_a, preconditioner=pc_a, **step_opts
+                )
+                return inner(models, st, bc_dofs, bc_vals, f_ext, dt)
+
+            self._operands = (geos, pc)
         self._max_newton = max_newton
         self._newton_rtol = newton_rtol
         self._newton_atol = newton_atol
@@ -249,7 +266,8 @@ class PackedSimulation:
     def _attempt(self, bc_dofs, bc_vals, f_ext, dt) -> tuple[int, bool]:
         """Run one committed step; returns (niter, converged-and-finite)."""
         self.state, stats = self._jitted(
-            self._models, self.state, bc_dofs, bc_vals, f_ext, dt
+            self._models, self.state, bc_dofs, bc_vals, f_ext, dt,
+            *self._operands,
         )
         self.last_stats = {k: np.asarray(v) for k, v in stats.items()}
         niter = int(stats["newton_iters"])
@@ -389,10 +407,12 @@ class PackedSimulation:
             step = self._step
             models = self._models
 
-            def run(state, vals, dts_j, bc_dofs, f_base, f_scales):
+            def run(state, vals, dts_j, bc_dofs, f_base, f_scales, *operands):
                 def body(st, xs):
                     v, dt, fs = xs
-                    s2, stats = step(models, st, bc_dofs, v, f_base * fs, dt)
+                    s2, stats = step(
+                        models, st, bc_dofs, v, f_base * fs, dt, *operands
+                    )
                     return s2, (
                         stats["newton_iters"], stats["r_norm"],
                         stats["r0_norm"], stats["cg_iters_last"],
@@ -403,7 +423,8 @@ class PackedSimulation:
             self._jitted_schedule = jax.jit(run)
 
         self.state, (ni, rn, r0, cg) = self._jitted_schedule(
-            self.state, vals, dts_j, bc_dofs, f_base, f_scales
+            self.state, vals, dts_j, bc_dofs, f_base, f_scales,
+            *self._operands,
         )
         self._f_ext_committed = np.asarray(f_base * f_scales[-1])
         rn = np.asarray(rn)
