@@ -165,6 +165,15 @@ class IncrSmallStrainProblem:
                     space, mu_e, kappa_e, free_np, q_degree=q_degree,
                     **(pc_options or {}),
                 )
+        # pytree preconditioners (AMG) cross jit as ARGUMENTS so their level
+        # arrays are not baked into the program as HLO constants; arbitrary
+        # user callables stay closure-captured (they are not pytrees)
+        from .amg import AmgPreconditioner
+
+        if isinstance(self._pc, AmgPreconditioner):
+            self._pc_arg, self._pc_closure = self._pc, None
+        else:
+            self._pc_arg, self._pc_closure = None, self._pc
 
         def _prec(fn):
             # bind the MXU precision at trace time (contexts wrap the trace)
@@ -191,10 +200,6 @@ class IncrSmallStrainProblem:
             self._histories = pstate.histories  # committed, per-law packed
             self._histories_trial = pstate.histories
             self._eval_assemble = jax.jit(_prec(self._eval_assemble_packed_impl))
-            self._linear_solve = jax.jit(
-                _prec(self._linear_solve_packed_impl),
-                static_argnames=("cg_maxiter", "cg_flexible"),
-            )
         else:
             self._pk_geos = None
             self._n_qp = int(self._law_data[0][1].n_qp)
@@ -207,10 +212,6 @@ class IncrSmallStrainProblem:
             )
             self._histories_trial = self._histories
             self._eval_assemble = jax.jit(_prec(self._eval_assemble_impl))
-            self._linear_solve = jax.jit(
-                _prec(self._linear_solve_impl),
-                static_argnames=("cg_maxiter", "cg_flexible"),
-            )
         self._newton_iter = jax.jit(
             _prec(self._newton_iter_impl),
             static_argnames=("cg_maxiter", "cg_flexible"),
@@ -303,8 +304,14 @@ class IncrSmallStrainProblem:
         return r, tuple(stresses), tuple(tangents), tuple(hists)
 
     def _linear_solve_packed_impl(
-        self, geos, tangents, r, free, cg_rtol, cg_maxiter, cg_flexible=False
+        self, geos, tangents, r, free, cg_rtol, cg_maxiter,
+        cg_flexible=False, pc=None,
     ):
+        # pc: pytree preconditioner passed as a jit ARGUMENT (AMG levels are
+        # O(problem) arrays; closure capture would bake them as HLO
+        # constants — see solver/amg.AmgPreconditioner). Non-pytree callables
+        # stay on self._pc_closure.
+        pc = pc if pc is not None else self._pc_closure
         # grid-major Krylov loop on the single-law structured fast path: the
         # node-major transposes happen once per Newton solve instead of twice
         # per CG iteration (identical to solver/packed_step.linear_solve)
@@ -317,10 +324,10 @@ class IncrSmallStrainProblem:
                 vm = jnp.where(free_gm, v, 0.0)
                 return jnp.where(free_gm, geo.matvec_gm(vm, tg), v)
 
-            if self._pc is not None:
+            if pc is not None:
                 def precond(rr):
                     rm = jnp.where(free_gm, rr, 0.0)
-                    z = geo.to_grid_major(self._pc(geo.to_node_major(rm)))
+                    z = geo.to_grid_major(pc(geo.to_node_major(rm)))
                     return jnp.where(free_gm, z, rr)
 
                 delta_gm, k = cg_solve(
@@ -342,10 +349,10 @@ class IncrSmallStrainProblem:
                 out = out + geo.matvec(vm, tg)
             return jnp.where(free, out, v)
 
-        if self._pc is not None:
+        if pc is not None:
             def precond(rr):
                 rm = jnp.where(free, rr, 0.0)
-                return jnp.where(free, self._pc(rm), rr)
+                return jnp.where(free, pc(rm), rr)
 
             return cg_solve(
                 matvec, jnp.where(free, r, 0.0), rtol=cg_rtol,
@@ -362,8 +369,9 @@ class IncrSmallStrainProblem:
 
     def _linear_solve_impl(
         self, law_data, tangents, r, free, cg_rtol, cg_maxiter,
-        cg_flexible=False,
+        cg_flexible=False, pc=None,
     ):
+        pc = pc if pc is not None else self._pc_closure
         constraint = self.constraint
         diag = jnp.zeros_like(r)
         for (dofmap, geo, _), tg in zip(law_data, tangents):
@@ -382,10 +390,10 @@ class IncrSmallStrainProblem:
             return jnp.where(free, out, v)
 
         b = jnp.where(free, r, 0.0)
-        if self._pc is not None:
+        if pc is not None:
             def precond(rr):
                 rm = jnp.where(free, rr, 0.0)
-                return jnp.where(free, self._pc(rm), rr)
+                return jnp.where(free, pc(rm), rr)
 
             return cg_solve(
                 matvec, b, rtol=cg_rtol, maxiter=cg_maxiter,
@@ -400,6 +408,7 @@ class IncrSmallStrainProblem:
     def _newton_iter_impl(
         self, models, geom, u, u_prev, stress_prev, histories, f_ext, t, dt,
         r, tangents, r_norm, free, cg_rtol, cg_maxiter, cg_flexible=False,
+        pc=None,
     ):
         """ONE full Newton iteration as ONE XLA program: linear solve +
         backtracking line search (fixed halving schedule under
@@ -424,7 +433,7 @@ class IncrSmallStrainProblem:
             else self._eval_assemble_impl
         )
         delta, k = eng_solve(
-            geom, tangents, r, free, cg_rtol, cg_maxiter, cg_flexible
+            geom, tangents, r, free, cg_rtol, cg_maxiter, cg_flexible, pc
         )
 
         def try_at(scale):
@@ -518,6 +527,7 @@ class IncrSmallStrainProblem:
                 self._histories, self.f_ext, t, dt, r, tangents,
                 jnp.asarray(r_norm, u.dtype), free,
                 cg_rtol, cg_maxiter=cg_maxiter, cg_flexible=cg_flexible,
+                pc=self._pc_arg,
             )
             r_norm = float(rn)
             niter += 1
