@@ -98,11 +98,16 @@ def main() -> None:
             return step(models, st, bc_dofs_j, bc_vals_j * scale, f_ext, dt)
 
         def runK(geos_a, pc_a, st, scales):
-            def body(carry, scale):
-                s_out, stats = one(geos_a, pc_a, carry, scale)
-                return s_out, stats["r_norm"]
-
-            return jax.lax.scan(body, st, scales)
+            # statically UNROLLED K-step chain: a lax.scan over this step
+            # faults the TPU backend at every tested size (works single-step
+            # and under the CPU backend — tracked as a tunnel/Mosaic issue);
+            # the unrolled chain is the same program semantics with a bigger
+            # HLO instead of a loop
+            probes = []
+            for i in range(K):
+                st, stats = one(geos_a, pc_a, st, scales[i])
+                probes.append(stats["r_norm"])
+            return st, jnp.stack(probes)
 
         return jax.jit(one), jax.jit(runK)
 
