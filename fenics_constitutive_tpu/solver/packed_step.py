@@ -50,6 +50,19 @@ def build_packed_problem(space, laws, q_degree, dtype=None):
         laws = [(laws, np.arange(space.mesh.num_cells, dtype=np.int32))]
     constraint = laws[0][0].constraint
 
+    if space.mesh.cell_type in ("hex", "quad") and q_degree < 2:
+        import warnings
+
+        warnings.warn(
+            "q_degree=1 on hex/quad cells is 1-point reduced integration: "
+            "the element stiffness has hourglass (zero-energy) modes, so "
+            "the tangent is singular — displacements are non-unique and a "
+            "tightly-converged Krylov solve can amplify round-off along the "
+            "null space into diverging steps. Use q_degree>=2 (full "
+            "integration) unless you know you want reduced integration.",
+            stacklevel=2,
+        )
+
     def make_geo(cells):
         whole_mesh = len(cells) == space.mesh.num_cells
         box = space.mesh.structured_shape is not None

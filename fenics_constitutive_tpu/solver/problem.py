@@ -120,6 +120,21 @@ class IncrSmallStrainProblem:
             engine = "packed"
         assert engine in ("packed", "aos"), engine
         self.engine = engine
+        if (
+            engine == "aos"
+            and mesh.cell_type in ("hex", "quad")
+            and q_degree < 2
+        ):
+            # the packed engine warns in build_packed_problem; mirror it here
+            import warnings
+
+            warnings.warn(
+                "q_degree=1 on hex/quad cells is 1-point reduced "
+                "integration with hourglass (zero-energy) modes — the "
+                "tangent is singular and displacements non-unique. Use "
+                "q_degree>=2 unless reduced integration is intended.",
+                stacklevel=2,
+            )
 
         self.space = space
         self.constraint = constraint
