@@ -238,3 +238,62 @@ def test_creep(dim, mat):
     assert np.sum(np.diff(stress)) < 1e-8
     assert abs(viscostrain[0]) < 1e-8
     assert viscostrain[-1] > 0
+
+
+@pytest.mark.parametrize("mat", [SpringKelvinModel, SpringMaxwellModel])
+def test_plane_strain_matches_3d_fixed_z(mat):
+    """2D plane strain == 3D with u_z = 0 everywhere, per load step
+    (reference test_viscoelasticity.py:664-694): same relaxation history,
+    stress components agree at every step."""
+    disp = 0.01
+
+    # 2D plane-strain problem
+    mesh2 = unit_square_mesh(2, 2, "triangle")
+    V2 = FunctionSpace(mesh2, 1, 2)
+    bm2 = DirichletBC(V2.locate_dofs_geometrical(axis_is(0, 1.0), component=0), 0.0)
+    bcs2 = [
+        DirichletBC(V2.locate_dofs_geometrical(axis_is(0, 0.0), component=0), 0.0),
+        bm2,
+        DirichletBC(V2.locate_dofs_geometrical(axis_is(1, 0.0), component=1), 0.0),
+    ]
+    law2 = mat({"E0": E0, "E1": E1, "tau": TAU, "nu": NU}, Constraint.PLANE_STRAIN)
+    p2 = IncrSmallStrainProblem(law2, V2, bcs2, 1, del_t=1e-8)
+
+    # 3D problem with u_z pinned at EVERY node (eps_zz == 0 by constraint)
+    mesh3 = unit_cube_mesh(2, 2, 2, "tetra")
+    V3 = FunctionSpace(mesh3, 1, 3)
+    everywhere = lambda x: np.ones(len(x), bool)  # noqa: E731
+    bm3 = DirichletBC(V3.locate_dofs_geometrical(axis_is(0, 1.0), component=0), 0.0)
+    bcs3 = [
+        DirichletBC(V3.locate_dofs_geometrical(axis_is(0, 0.0), component=0), 0.0),
+        bm3,
+        DirichletBC(V3.locate_dofs_geometrical(axis_is(1, 0.0), component=1), 0.0),
+        DirichletBC(V3.locate_dofs_geometrical(everywhere, component=2), 0.0),
+    ]
+    law3 = mat({"E0": E0, "E1": E1, "tau": TAU, "nu": NU}, Constraint.FULL)
+    p3 = IncrSmallStrainProblem(law3, V3, bcs3, 1, del_t=1e-8)
+
+    # PLANE_STRAIN Mandel order (xx, yy, zz, xy*sqrt2) -> FULL indices
+    comp3 = {0: 0, 1: 1, 2: 2}
+
+    def step(p, bm, dt):
+        p._del_t = dt
+        bm.value = disp
+        niter, converged = p.solve()
+        assert converged
+        p.update()
+
+    for k, dt in enumerate([1e-8] + [2.0] * 10):
+        step(p2, bm2, dt)
+        step(p3, bm3, dt)
+        s2 = np.asarray(p2.stress_0).reshape(-1, 4)
+        s3 = np.asarray(p3.stress_0).reshape(-1, 6)
+        # homogeneous fields: compare the (constant) component values
+        for i2, i3 in comp3.items():
+            v2 = s2[:, i2]
+            v3 = s3[:, i3]
+            np.testing.assert_allclose(v2, v2[0], rtol=0, atol=1e-8)
+            np.testing.assert_allclose(v3, v3[0], rtol=0, atol=1e-8)
+            assert abs(v2[0] - v3[0]) < 1e-8, (k, i2, v2[0], v3[0])
+    # the constraint did real work: sigma_zz is nonzero under plane strain
+    assert abs(s2[0, 2]) > 1e-3
