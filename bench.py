@@ -265,7 +265,14 @@ def main() -> None:
     # than one tunnel round trip (~80 ms) is physically impossible for a
     # 48-step dispatch, so discard such windows rather than report fiction
     plausible = [w for w in window_ms if w * K_STEPS >= 50.0]
-    if plausible and len(plausible) < len(window_ms):
+    if not plausible:
+        print(
+            f"FAIL: every timing window {[round(w, 3) for w in window_ms]} "
+            "is faster than one tunnel round trip — the tunnel memoized the "
+            "whole run; no honest number exists. Re-run.", file=sys.stderr,
+        )
+        sys.exit(1)
+    if len(plausible) < len(window_ms):
         best = min(plausible) / 1000.0
         print(
             f"WARN: discarded {len(window_ms) - len(plausible)} implausibly "

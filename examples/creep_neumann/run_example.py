@@ -18,12 +18,10 @@ Run:  python examples/creep_neumann/run_example.py  [out_dir]
 from __future__ import annotations
 
 # allow running from a plain checkout
-import pathlib as _pathlib
-import sys as _sys
-
-_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parents[2]))
-
+import pathlib
 import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
 
 import jax
 
@@ -95,7 +93,17 @@ def main(out_dir: str) -> None:
     analytic = SIGMA / E0 + SIGMA / E1
     print(f"creep limit strain {eps_inf:.6f}  (analytic {analytic:.6f})")
     assert abs(eps_inf - analytic) < 1e-6
-    print("creep_neumann example OK")
+
+    outdir = pathlib.Path(out_dir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    out = outdir / "creep_history.csv"
+    times = np.concatenate([[0.0], np.cumsum(np.full(K, TAU / 2))])
+    out.write_text(
+        "t,max_strain\n"
+        + f"0.0,{eps0:.9f}\n"
+        + "".join(f"{t},{eps_inf:.9f}\n" for t in times[-1:])
+    )
+    print(f"creep_neumann example OK (history -> {out})")
 
 
 if __name__ == "__main__":

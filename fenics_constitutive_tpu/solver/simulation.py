@@ -103,8 +103,12 @@ class PackedSimulation:
             if f_ext is None
             else jnp.asarray(f_ext, state.u.dtype)
         )
-        # last successfully committed external load, for substep interpolation
-        self._f_ext_committed = np.asarray(self.f_ext)
+        # last successfully COMMITTED external load, for substep
+        # interpolation. Starts at ZERO regardless of the ctor's f_ext: the
+        # committed state is the zero-stress/zero-displacement one, so a
+        # failing FIRST step must ramp the load from zero, exactly like BC
+        # values ramp from state0.u
+        self._f_ext_committed = np.zeros(space.ndofs)
         geo = geos[0]
         structured = hasattr(geo, "matvec_gm") and len(geos) == 1
 
@@ -235,7 +239,23 @@ class PackedSimulation:
             eval_impl=eval_impl,
             matmul_precision=matmul_precision,
         )
-        if structured:
+        if structured and preconditioner == "amg":
+            # structured step with AMG: the folded geometry stays a (small)
+            # closure constant, but the AMG levels are O(problem) arrays and
+            # must cross jit as an ARGUMENT (same constant-bloat issue as
+            # the gather path below); the grid<->node permutation wrapper is
+            # rebuilt inside the trace around the argument
+            def step(models, st, bc_dofs, bc_vals, f_ext, dt, pc_a):
+                def wrapped(r):
+                    return geo.to_grid_major(pc_a(geo.to_node_major(r)))
+
+                inner = make_packed_step(
+                    geos, preconditioner=wrapped, **step_opts
+                )
+                return inner(models, st, bc_dofs, bc_vals, f_ext, dt)
+
+            self._operands = (amg,)  # the raw pytree; pc is its wrapper
+        elif structured:
             # small folded-constant operators: closure capture is cheap, and
             # the Pallas kernels need concrete geometry at build time
             step = make_packed_step(geos, preconditioner=pc, **step_opts)

@@ -140,10 +140,10 @@ def main() -> None:
 
         # K-step chains (scan OR unrolled) of the AMG gather step fault the
         # TPU backend — and the first fault wedges the device for the rest
-        # of the process, so in-process fallback probing is useless. Time
-        # single-step dispatches (K=1 skips chains entirely) and report the
-        # separately measured tunnel dispatch floor so the device-side cost
-        # can be bounded.
+        # of the process, so in-process fallback probing is useless. Run
+        # with AMG_STEPS=1 on the tunnel (single-step dispatches, no chain);
+        # the separately measured dispatch floor above bounds the device-
+        # side cost. Larger K works on backends without the fault (CPU).
         k_used = K
         runK = make_runK(k_used)
         _ = jax.block_until_ready(runK(geos, pc, st, mkscales(0, k_used)))[1]
@@ -161,6 +161,10 @@ def main() -> None:
             w = (time.perf_counter() - t0) / k_used
             if w * k_used * 1000.0 >= 50.0:  # tunnel-memoization guard
                 best = min(best, w)
+        assert np.isfinite(best), (
+            f"every timing window was under the 50 ms memoization guard "
+            f"for {name}; no honest number exists — re-run"
+        )
         r_settled = float(np.asarray(probes)[-1])
 
         # in-run convergence reference (deep CG from the same state/schedule)

@@ -119,6 +119,7 @@ def test_checkpoint_orbax_sharded_roundtrip(tmp_path):
     shardings reapplied on restore (the at-scale analog of the reference's
     adios4dolfinx MPI serialization, SURVEY §5.4) — the npz path would
     gather to host and lose the layout."""
+    pytest.importorskip("orbax")
     import jax
 
     from fenics_constitutive_tpu.parallel import make_device_mesh, shard_problem

@@ -455,3 +455,40 @@ def test_eval_impl_pallas_and_mg_options():
     np.testing.assert_allclose(
         sim_p.stress, sim_c.stress, rtol=1e-6, atol=1e-8
     )
+
+
+def test_adaptive_substepping_ramps_f_ext_from_zero():
+    """A failing FIRST load step with a ctor-supplied traction must ramp the
+    EXTERNAL load from the committed (zero-load) state during substep
+    retries, exactly like BC values ramp from state0.u — not re-apply the
+    full traction at every substep (review fix r3)."""
+    V, _bcs, _bc_move = setup()
+    # symmetry planes only: the x=1 face must stay traction-loaded (free)
+    close = lambda a, v: (lambda x: np.isclose(x[:, a], v))  # noqa: E731
+    bcs = [
+        DirichletBC(V.locate_dofs_geometrical(close(0, 0.0), component=0), 0.0),
+        DirichletBC(V.locate_dofs_geometrical(close(1, 0.0), component=1), 0.0),
+        DirichletBC(V.locate_dofs_geometrical(close(2, 0.0), component=2), 0.0),
+    ]
+    law = _fragile_elasticity(0.02)
+    from fenics_constitutive_tpu.fem.facets import (
+        assemble_facet_traction,
+        locate_boundary_facets,
+    )
+
+    facets = locate_boundary_facets(V.mesh, close(0, 1.0))
+    # a traction big enough that the FULL first step NaN-poisons the fragile
+    # law, but whose halved/quartered substeps stay under the threshold
+    f_ext = assemble_facet_traction(V, facets, np.array([4000.0, 0.0, 0.0]))
+    sim = PackedSimulation(
+        law, V, bcs, 2, f_ext=f_ext, max_subdivisions=4,
+    )
+    niter, converged = sim.solve()
+    assert converged, "substepping must rescue the load-driven first step"
+    sig_xx = np.asarray(sim.stress)[..., 0]
+    assert np.isfinite(sig_xx).all() and sig_xx.mean() > 0
+
+    # control: without substepping the same step fails outright
+    sim2 = PackedSimulation(law, V, bcs, 2, f_ext=f_ext, max_subdivisions=0)
+    _, converged2 = sim2.solve()
+    assert not converged2
