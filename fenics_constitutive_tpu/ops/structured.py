@@ -50,6 +50,7 @@ from .packed import IsotropicTangent  # noqa: F401  (re-export convenience)
 __all__ = [
     "StructuredGeometry",
     "build_structured_geometry",
+    "restrict_structured_geometry",
     "LatticeGeometry",
     "build_lattice_geometry",
 ]
@@ -250,6 +251,37 @@ class StructuredGeometry:
 def _corner_offsets(gdim: int):
     """local node a = dx + 2 dy + 4 dz (x fastest), matching mesh.py."""
     return [tuple((a >> d) & 1 for d in range(gdim)) for a in range(2**gdim)]
+
+
+def restrict_structured_geometry(geo: StructuredGeometry, cells) -> StructuredGeometry:
+    """Cell-subset view of a structured geometry (multi-material fast path).
+
+    The reference assigns laws to cell subsets via submeshes
+    (_lawonsubmesh.py); the gather engine supports that with per-law index
+    arrays, but a box mesh would then fall OFF the conv fast path. The TPU
+    answer: every engine op already multiplies by the valid-origin ``mask``
+    and observes through ``cell_index`` — so a law-on-subset is the SAME
+    dense masked conv sweep with the mask zeroed at the other laws' cell
+    origins. Each law evaluates densely over the whole grid (strain is
+    masked to zero off-subset, so histories stay identically zero there) —
+    n_laws masked conv sweeps instead of one serialized-gather engine,
+    which is the right trade on a TPU (measured: the gather path is ~3
+    orders slower per QP than the conv path, docs/performance.md).
+    """
+    import dataclasses
+
+    cells = np.asarray(cells, np.int64)
+    full_index = np.asarray(geo.cell_index)  # [C_full] origin per mesh cell
+    own = full_index[cells]
+    dtype = geo.mask.dtype
+    mask = np.zeros(geo.M, np.float64)
+    mask[own] = 1.0
+    return dataclasses.replace(
+        geo,
+        mask=jnp.asarray(mask, dtype),
+        cell_index=jnp.asarray(own.astype(np.int32)),
+        n_cells=int(len(cells)),
+    )
 
 
 def build_structured_geometry(

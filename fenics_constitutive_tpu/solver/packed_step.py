@@ -66,9 +66,17 @@ def build_packed_problem(space, laws, q_degree, dtype=None):
     def make_geo(cells):
         whole_mesh = len(cells) == space.mesh.num_cells
         box = space.mesh.structured_shape is not None
-        if whole_mesh and box and space.degree == 1:
-            # gather-free stencil fast path for box-structured grids
-            return build_structured_geometry(space, q_degree, constraint, dtype)
+        if box and space.degree == 1:
+            # gather-free stencil fast path for box-structured grids; a law
+            # on a cell SUBSET keeps it via a masked view — dense sweeps with
+            # the other laws' cell origins zeroed beat falling back to the
+            # serialized-gather engine (restrict_structured_geometry)
+            geo = build_structured_geometry(space, q_degree, constraint, dtype)
+            if whole_mesh:
+                return geo
+            from ..ops.structured import restrict_structured_geometry
+
+            return restrict_structured_geometry(geo, cells)
         if (
             whole_mesh
             and box

@@ -120,3 +120,25 @@ def test_del_grad_u_observation_matches():
     g2 = np.asarray(p_aos._del_grad_u[0])
     assert g1.shape == g2.shape
     np.testing.assert_allclose(g1, g2, rtol=1e-9, atol=1e-13)
+
+
+def test_multimaterial_box_mesh_stays_on_structured_fast_path():
+    """Laws on cell subsets of a box mesh must NOT fall off the conv fast
+    path: each law gets a masked structured-geometry view
+    (ops.structured.restrict_structured_geometry) instead of the
+    serialized-gather engine (~3 orders slower per QP on TPU)."""
+    mesh, V, bcs, bc_move = _setup("hex")
+    soft = LinearElasticityModel({"E": 50000.0, "nu": 0.3}, Constraint.FULL)
+    hard = LinearElasticityModel({"E": 200000.0, "nu": 0.3}, Constraint.FULL)
+    mid = mesh.cell_midpoints()
+    cells_l = np.flatnonzero(mid[:, 0] < 0.5).astype(np.int32)
+    cells_r = np.flatnonzero(mid[:, 0] >= 0.5).astype(np.int32)
+    p = IncrSmallStrainProblem([(soft, cells_l), (hard, cells_r)], V, bcs, 2)
+    for geo, cells in zip(p._pk_geos, (cells_l, cells_r)):
+        assert hasattr(geo, "matvec_gm"), "fell off the structured fast path"
+        assert geo.n_cells == len(cells)
+        # the mask owns exactly this law's cell origins
+        assert int(np.asarray(geo.mask).sum()) == len(cells)
+    # the two masks partition the valid origins
+    m = np.asarray(p._pk_geos[0].mask) + np.asarray(p._pk_geos[1].mask)
+    assert m.max() == 1.0 and int(m.sum()) == mesh.num_cells
