@@ -204,6 +204,22 @@ class PackedSimulation:
                     use_bpx=(preconditioner == "bpx"),
                     **mg_options,
                 )
+            elif len(geos) > 1 and all(hasattr(g, "matvec_gm") for g in geos):
+                # MULTI-MATERIAL box mesh (masked structured subset views):
+                # precondition with ONE whole-grid elastic hierarchy (moduli
+                # estimated from the first law — the preconditioner is an
+                # elastic surrogate either way) wrapped node-major for the
+                # generic multi-law Krylov loop
+                from ..ops.structured import build_structured_geometry
+
+                geo_full = build_structured_geometry(
+                    space, q_degree, geos[0].constraint, self.state.u.dtype
+                )
+                mg = build_multigrid(geo_full, mu, kappa, free, **mg_options)
+                inner = {"bpx": mg.bpx, "vcycle": mg}[preconditioner]
+
+                def pc(r, _g=geo_full, _i=inner):
+                    return _g.to_node_major(_i(_g.to_grid_major(r)))
             else:
                 msg = (
                     "geometric multilevel preconditioning needs a box mesh "
@@ -261,19 +277,34 @@ class PackedSimulation:
             step = make_packed_step(geos, preconditioner=pc, **step_opts)
             self._operands = ()
         else:
-            # the gather-path geometry (per-QP dN/dofmaps) and AMG levels are
-            # O(problem-size) arrays: build the step INSIDE the trace so they
-            # cross jit as ARGUMENTS (pytrees) instead of being baked into
-            # the program as HLO constants — constant capture bloats the
-            # executable and overflows remote-compile request limits at
-            # production sizes (see solver/amg.AmgPreconditioner docstring)
-            def step(models, st, bc_dofs, bc_vals, f_ext, dt, geos_a, pc_a):
-                inner = make_packed_step(
-                    geos_a, preconditioner=pc_a, **step_opts
-                )
-                return inner(models, st, bc_dofs, bc_vals, f_ext, dt)
+            from .amg import AmgPreconditioner
 
-            self._operands = (geos, pc)
+            if pc is None or isinstance(pc, AmgPreconditioner):
+                # the gather-path geometry (per-QP dN/dofmaps) and AMG levels
+                # are O(problem-size) arrays: build the step INSIDE the trace
+                # so they cross jit as ARGUMENTS (pytrees) instead of being
+                # baked in as HLO constants — constant capture bloats the
+                # executable and overflows remote-compile request limits at
+                # production sizes (solver/amg.AmgPreconditioner docstring)
+                def step(models, st, bc_dofs, bc_vals, f_ext, dt, geos_a, pc_a):
+                    inner = make_packed_step(
+                        geos_a, preconditioner=pc_a, **step_opts
+                    )
+                    return inner(models, st, bc_dofs, bc_vals, f_ext, dt)
+
+                self._operands = (geos, pc)
+            else:
+                # non-pytree preconditioner (e.g. the whole-grid geometric
+                # V-cycle wrapper for multi-material box meshes): geometry
+                # still crosses as an argument; the callable closes over its
+                # own (small, folded) hierarchy constants
+                def step(models, st, bc_dofs, bc_vals, f_ext, dt, geos_a):
+                    inner = make_packed_step(
+                        geos_a, preconditioner=pc, **step_opts
+                    )
+                    return inner(models, st, bc_dofs, bc_vals, f_ext, dt)
+
+                self._operands = (geos,)
         self._max_newton = max_newton
         self._newton_rtol = newton_rtol
         self._newton_atol = newton_atol

@@ -1,0 +1,111 @@
+"""Measure the multi-material structured fast path at bench scale on TPU.
+
+Two-material 50^3 hex cube (soft elastic inclusion slab + von Mises matrix,
+500k QPs each), PackedSimulation with the whole-grid V-cycle, 16-step
+solve_schedule dispatches — the multi-law analog of bench.py's workload.
+Before r3's restrict_structured_geometry, this configuration fell back to
+the serialized-gather engine (~29 us/QP measured, docs/performance.md);
+now it runs n_laws masked conv sweeps.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/ab_multimat.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+import jax
+
+from fenics_constitutive_tpu.fem import DirichletBC, FunctionSpace, unit_cube_mesh
+from fenics_constitutive_tpu.fem.bcs import combine_bcs
+from fenics_constitutive_tpu.models import (
+    Constraint,
+    LinearElasticityModel,
+    VonMises3D,
+)
+from fenics_constitutive_tpu.solver import PackedSimulation
+
+MAT = {"p_ka": 175000.0, "p_mu": 80769.0, "p_y0": 1200.0,
+       "p_y00": 2500.0, "p_w": 200.0}
+
+
+def main() -> None:
+    n = int(os.environ.get("MM_N", "50"))
+    K = int(os.environ.get("MM_STEPS", "16"))
+    mesh = unit_cube_mesh(n, n, n, "hex")
+    V = FunctionSpace(mesh, 1, 3)
+
+    def close(axis, v):
+        return lambda x: np.isclose(x[:, axis], v)
+
+    bcs = [
+        DirichletBC(V.locate_dofs_geometrical(close(0, 0.0), component=0), 0.0),
+        DirichletBC(V.locate_dofs_geometrical(close(0, 1.0), component=0), 0.004),
+        DirichletBC(V.locate_dofs_geometrical(close(1, 0.0), component=1), 0.0),
+        DirichletBC(V.locate_dofs_geometrical(close(2, 0.0), component=2), 0.0),
+    ]
+    mid = mesh.cell_midpoints()
+    cells_soft = np.flatnonzero(mid[:, 2] < 0.5).astype(np.int32)
+    cells_hard = np.flatnonzero(mid[:, 2] >= 0.5).astype(np.int32)
+    laws = [
+        (LinearElasticityModel({"E": 150000.0, "nu": 0.3}, Constraint.FULL),
+         cells_soft),
+        (VonMises3D(MAT), cells_hard),
+    ]
+    sim = PackedSimulation(
+        laws, V, bcs, 2, preconditioner="vcycle",
+        mg_options={"nu": 3, "nu_coarse": 2, "coarse_direct": True},
+        newton_rtol=0.0, newton_atol=0.0, max_newton=1,
+        cg_rtol=1e-5, cg_maxiter=400,
+    )
+    for g in sim._geos:
+        assert hasattr(g, "matvec_gm"), "fell off the structured path"
+    print(f"2 laws on {mesh.num_cells} hexes "
+          f"({len(cells_soft)}/{len(cells_hard)} cells), "
+          f"{sim._geos[0].N + sim._geos[1].N} logical QPs", flush=True)
+
+    # warm past yield (one Newton iteration per call, bench.py style)
+    for k in (0.5, 1.0, 1.5):
+        bcs[1].value = 0.004 * k
+        sim.solve()
+    jax.block_until_ready(sim.state.u)
+    print("warmed", flush=True)
+
+    bc_dofs, _ = combine_bcs(bcs)
+    move = set(np.asarray(bcs[1].dofs).tolist())
+    cols = [i for i, d in enumerate(bc_dofs) if d in move]
+
+    def ramp_vals(j):
+        # bench.py's real-ramp protocol: +0.05 load scale per step
+        vals = np.zeros((K, len(bc_dofs)))
+        vals[:, cols] = (
+            0.004 * (2.0 + 1e-3 * j + 0.05 * np.arange(K))
+        )[:, None]
+        return vals
+
+    stats = sim.solve_schedule(ramp_vals(0))  # compile
+    best = float("inf")
+    for j in range(1, 4):
+        t0 = time.perf_counter()
+        stats = sim.solve_schedule(ramp_vals(j))
+        w = (time.perf_counter() - t0) / K
+        if w * K * 1000.0 >= 50.0:
+            best = min(best, w)
+    r = float(stats["r_norm"][-1])
+    print(json.dumps({
+        "metric": "mises_multimat_50cube_newton_step",
+        "value": round(best * 1000.0, 3), "unit": "ms",
+        "n_laws": 2, "r_norm": round(r, 4),
+        "cg_iters_last": int(stats["cg_iters_last"][-1]),
+    }))
+
+
+if __name__ == "__main__":
+    main()
