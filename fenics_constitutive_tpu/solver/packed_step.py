@@ -198,10 +198,17 @@ def make_packed_step(
     # ordering: all conv ins/outs become free reshapes, the node-major
     # transposes happen once per Newton solve instead of twice per CG
     # iteration (see ops/structured.py to_grid_major).
-    grid_major = len(geos) == 1 and hasattr(geos[0], "matvec_gm")
+    # grid-major fast loop: ALL laws are structured views of the SAME grid
+    # (multi-material masked subsets share M/vs; see
+    # ops.structured.restrict_structured_geometry)
+    grid_major = all(hasattr(g, "matvec_gm") for g in geos) and (
+        len({(g.M, g.vs) for g in geos}) == 1
+    )
     pallas_mv = None
     if matvec_impl == "pallas":
-        assert grid_major, "pallas matvec needs the single-law structured path"
+        assert grid_major and len(geos) == 1, (
+            "pallas matvec needs the single-law structured path"
+        )
         from ..ops.pallas_matvec import build_pallas_matvec
 
         pallas_mv = build_pallas_matvec(geos[0])
@@ -380,16 +387,43 @@ def make_packed_step(
             r = geo._scatter_corners(F).reshape(-1) - f_ext_gm
             return r, s_new, tg, h_new
 
-    def solve_gm(tg, r_gm, free_gm):
+    def eval_assemble_gm_all(
+        models, u_gm, u_prev_gm, stresses, hists, t, f_ext_gm, dt
+    ):
+        """All laws on the shared grid; single-law defers to eval_assemble_gm
+        so the fused Pallas eval override still applies there."""
+        if len(geos) == 1:
+            r, s, tg, h = eval_assemble_gm(
+                models[0], u_gm, u_prev_gm, stresses[0], hists[0],
+                t, f_ext_gm, dt,
+            )
+            return r, (s,), (tg,), (h,)
+        du = u_gm - u_prev_gm
+        r = -f_ext_gm
+        ss, tgs, hh = [], [], []
+        for model, g, sig0, h0 in zip(models, geos, stresses, hists):
+            eps = g.strain_gm(du)
+            s_new, tg, h_new = model.evaluate_packed(t, dt, eps, sig0, h0)
+            r = r + g.residual_gm(s_new)
+            ss.append(s_new)
+            tgs.append(tg)
+            hh.append(h_new)
+        return r, tuple(ss), tuple(tgs), tuple(hh)
+
+    def solve_gm(tgs, r_gm, free_gm):
         r_gm = jnp.where(free_gm, r_gm, 0.0)
         if pallas_mv is not None:
             def matvec(v):
                 vm = jnp.where(free_gm, v, 0.0)
-                return jnp.where(free_gm, pallas_mv(vm, tg), v)
+                return jnp.where(free_gm, pallas_mv(vm, tgs[0]), v)
         else:
             def matvec(v):
                 vm = jnp.where(free_gm, v, 0.0)
-                return jnp.where(free_gm, geo.matvec_gm(vm, tg), v)
+                out = None
+                for g, tg in zip(geos, tgs):
+                    mv = g.matvec_gm(vm, tg)
+                    out = mv if out is None else out + mv
+                return jnp.where(free_gm, out, v)
 
         if preconditioner is not None:
             def precond(rr):
@@ -404,14 +438,16 @@ def make_packed_step(
                 matvec, r_gm, rtol=cg_rtol, maxiter=cg_maxiter,
                 precond=precond, **cg_opts,
             )
-        diag = jnp.where(free_gm, geo.jacobi_diag_gm(tg), 1.0)
+        diag = None
+        for g, tg in zip(geos, tgs):
+            d = g.jacobi_diag_gm(tg)
+            diag = d if diag is None else diag + d
+        diag = jnp.where(free_gm, diag, 1.0)
         return linear.cg_solve(
             matvec, r_gm, diag, rtol=cg_rtol, maxiter=cg_maxiter, **cg_opts,
         )
 
     def step_gm(models, state: PackedState, bc_dofs, bc_vals, f_ext, dt):
-        model = models[0]
-        sig0, hist0 = state.stress[0], state.histories[0]
         bc_gm = (bc_dofs % vs) * M + bc_dofs // vs
         free_gm = jnp.ones(ndofs, bool).at[bc_gm].set(False)
         u_prev_gm = geo.to_grid_major(state.u)
@@ -421,8 +457,9 @@ def make_packed_step(
         def fnorm(r):
             return jnp.linalg.norm(jnp.where(free_gm, r, 0.0))
 
-        r0, s0, tg0, h0 = eval_assemble_gm(
-            model, u0, u_prev_gm, sig0, hist0, state.t, f_ext_gm, dt
+        r0, s0, tg0, h0 = eval_assemble_gm_all(
+            models, u0, u_prev_gm, state.stress, state.histories,
+            state.t, f_ext_gm, dt,
         )
         r0_norm = fnorm(r0)
 
@@ -436,8 +473,9 @@ def make_packed_step(
             u, it, r, s, tg, h, _ = carry
             delta, cg_k = solve_gm(tg, r, free_gm)
             u_new = u - delta
-            r2, s2, tg2, h2 = eval_assemble_gm(
-                model, u_new, u_prev_gm, sig0, hist0, state.t, f_ext_gm, dt
+            r2, s2, tg2, h2 = eval_assemble_gm_all(
+                models, u_new, u_prev_gm, state.stress, state.histories,
+                state.t, f_ext_gm, dt,
             )
             return (u_new, it + 1, r2, s2, tg2, h2, cg_k)
 
@@ -448,8 +486,8 @@ def make_packed_step(
         u, niter, r_f, s_f, _, h_f, cg_k = jax.lax.while_loop(cond, body, carry)
         new_state = PackedState(
             u=geo.to_node_major(u),
-            stress=(s_f,),
-            histories=(h_f,),
+            stress=s_f,
+            histories=h_f,
             t=state.t + dt,
         )
         stats = {

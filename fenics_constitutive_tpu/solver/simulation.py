@@ -111,6 +111,13 @@ class PackedSimulation:
         self._f_ext_committed = np.zeros(space.ndofs)
         geo = geos[0]
         structured = hasattr(geo, "matvec_gm") and len(geos) == 1
+        # multi-material masked views of one grid: the grid-major fast loop
+        # handles them too (make_packed_step), so preconditioners are built
+        # whole-grid and applied grid-major
+        structured_multi = len(geos) > 1 and all(
+            hasattr(g, "matvec_gm") for g in geos
+        )
+        any_structured = structured or structured_multi
 
         if matvec_impl == "auto":
             on_tpu = jax.default_backend() not in ("cpu",)
@@ -154,7 +161,7 @@ class PackedSimulation:
                     space, mu, kappa, np.asarray(free),
                     q_degree=q_degree, **mg_options,
                 )
-                if structured:
+                if any_structured:
                     pc = lambda r: geo.to_grid_major(  # noqa: E731
                         amg(geo.to_node_major(r))
                     )
@@ -204,22 +211,18 @@ class PackedSimulation:
                     use_bpx=(preconditioner == "bpx"),
                     **mg_options,
                 )
-            elif len(geos) > 1 and all(hasattr(g, "matvec_gm") for g in geos):
+            elif structured_multi:
                 # MULTI-MATERIAL box mesh (masked structured subset views):
-                # precondition with ONE whole-grid elastic hierarchy (moduli
-                # estimated from the first law — the preconditioner is an
-                # elastic surrogate either way) wrapped node-major for the
-                # generic multi-law Krylov loop
+                # ONE whole-grid elastic hierarchy (moduli estimated from
+                # the first law — the preconditioner is an elastic surrogate
+                # either way), applied grid-major by the shared fast loop
                 from ..ops.structured import build_structured_geometry
 
                 geo_full = build_structured_geometry(
                     space, q_degree, geos[0].constraint, self.state.u.dtype
                 )
                 mg = build_multigrid(geo_full, mu, kappa, free, **mg_options)
-                inner = {"bpx": mg.bpx, "vcycle": mg}[preconditioner]
-
-                def pc(r, _g=geo_full, _i=inner):
-                    return _g.to_node_major(_i(_g.to_grid_major(r)))
+                pc = {"bpx": mg.bpx, "vcycle": mg}[preconditioner]
             else:
                 msg = (
                     "geometric multilevel preconditioning needs a box mesh "
@@ -255,7 +258,7 @@ class PackedSimulation:
             eval_impl=eval_impl,
             matmul_precision=matmul_precision,
         )
-        if structured and preconditioner == "amg":
+        if any_structured and preconditioner == "amg":
             # structured step with AMG: the folded geometry stays a (small)
             # closure constant, but the AMG levels are O(problem) arrays and
             # must cross jit as an ARGUMENT (same constant-bloat issue as
@@ -271,7 +274,7 @@ class PackedSimulation:
                 return inner(models, st, bc_dofs, bc_vals, f_ext, dt)
 
             self._operands = (amg,)  # the raw pytree; pc is its wrapper
-        elif structured:
+        elif any_structured:
             # small folded-constant operators: closure capture is cheap, and
             # the Pallas kernels need concrete geometry at build time
             step = make_packed_step(geos, preconditioner=pc, **step_opts)
