@@ -253,6 +253,49 @@ def _corner_offsets(gdim: int):
     return [tuple((a >> d) & 1 for d in range(gdim)) for a in range(2**gdim)]
 
 
+def multi_strain_gm(geos, u_gm):
+    """Shared-stencil strains for masked multi-law views of ONE grid.
+
+    MEASURED AND REJECTED for the hot path (kept for reference): sharing
+    the corner gather + strain/divergence matmuls across laws is 19%
+    SLOWER than per-law sweeps at the 1M-QP 2-law bench state (74.3 vs
+    62.6 ms/step, scripts/ab_multimat.py, v5e) — XLA fuses each law's mask
+    into its own matmul pipeline, while sharing materializes extra
+    [s*Q, M] intermediates. On TPU, recompute-and-fuse beats
+    share-and-spill. Returns one masked [s, Q, M] strain per law."""
+    g0 = geos[0]
+    U = g0._corner_dofs(u_gm.reshape(g0.vs, g0.M))
+    e = jnp.matmul(
+        g0.KEPS_c.astype(U.dtype), U, preferred_element_type=U.dtype
+    ).reshape(g0.sdim, g0.n_qp, g0.M)
+    return [e * g.mask.astype(e.dtype) for g in geos]
+
+
+def multi_residual_gm(geos, sigmas):
+    """Shared-stencil assembly: mask + sum the per-law stresses FIRST, then
+    one divergence matmul + one corner scatter (the masks partition the
+    valid cell origins, so the sum is the global stress field)."""
+    g0 = geos[0]
+    sig = None
+    for g, s in zip(geos, sigmas):
+        sm = s.reshape(g0.sdim * g0.n_qp, g0.M) * g.mask.astype(s.dtype)
+        sig = sm if sig is None else sig + sm
+    F = jnp.matmul(
+        g0.KDIV_c.astype(sig.dtype), sig, preferred_element_type=sig.dtype
+    )
+    return g0._scatter_corners(F).reshape(-1)
+
+
+def multi_matvec_gm(geos, tangents, v_gm):
+    """Tangent action for multi-law views with the stencil work shared:
+    gather/strain/divergence once, tangent apply + mask per law (tangent
+    applies are pointwise-linear, so mask-after-apply == apply-on-masked)."""
+    eps = multi_strain_gm(geos, v_gm)
+    return multi_residual_gm(
+        geos, [tg.apply(e) for e, tg in zip(eps, tangents)]
+    )
+
+
 def restrict_structured_geometry(geo: StructuredGeometry, cells) -> StructuredGeometry:
     """Cell-subset view of a structured geometry (multi-material fast path).
 

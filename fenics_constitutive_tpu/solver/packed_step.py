@@ -63,6 +63,8 @@ def build_packed_problem(space, laws, q_degree, dtype=None):
             stacklevel=2,
         )
 
+    _full_structured = [None]  # built once, shared by every law's view
+
     def make_geo(cells):
         whole_mesh = len(cells) == space.mesh.num_cells
         box = space.mesh.structured_shape is not None
@@ -71,7 +73,11 @@ def build_packed_problem(space, laws, q_degree, dtype=None):
             # on a cell SUBSET keeps it via a masked view — dense sweeps with
             # the other laws' cell origins zeroed beat falling back to the
             # serialized-gather engine (restrict_structured_geometry)
-            geo = build_structured_geometry(space, q_degree, constraint, dtype)
+            if _full_structured[0] is None:
+                _full_structured[0] = build_structured_geometry(
+                    space, q_degree, constraint, dtype
+                )
+            geo = _full_structured[0]
             if whole_mesh:
                 return geo
             from ..ops.structured import restrict_structured_geometry
@@ -201,8 +207,11 @@ def make_packed_step(
     # grid-major fast loop: ALL laws are structured views of the SAME grid
     # (multi-material masked subsets share M/vs; see
     # ops.structured.restrict_structured_geometry)
-    grid_major = all(hasattr(g, "matvec_gm") for g in geos) and (
-        len({(g.M, g.vs) for g in geos}) == 1
+    grid_major = (
+        all(hasattr(g, "matvec_gm") for g in geos)
+        and len({(g.M, g.vs) for g in geos}) == 1
+        # multi-law shared-stencil helpers need the degree-1 corner layout
+        and (len(geos) == 1 or all(hasattr(g, "offsets") for g in geos))
     )
     pallas_mv = None
     if matvec_impl == "pallas":
@@ -398,6 +407,13 @@ def make_packed_step(
                 t, f_ext_gm, dt,
             )
             return r, (s,), (tg,), (h,)
+        # per-law stencil sweeps, NOT the shared-stencil variant
+        # (ops.structured.multi_strain_gm/multi_residual_gm): sharing the
+        # corner gather + strain/divergence matmuls across laws was measured
+        # 19% SLOWER at the 1M-QP 2-law bench state (74.3 vs 62.6 ms/step,
+        # scripts/ab_multimat.py) — XLA fuses each law's mask into its own
+        # matmul pipeline, while sharing materializes extra [s*Q, M]
+        # intermediates; on TPU recompute-and-fuse beats share-and-spill
         du = u_gm - u_prev_gm
         r = -f_ext_gm
         ss, tgs, hh = [], [], []
@@ -417,6 +433,8 @@ def make_packed_step(
                 vm = jnp.where(free_gm, v, 0.0)
                 return jnp.where(free_gm, pallas_mv(vm, tgs[0]), v)
         else:
+            # per-law matvec sum (see eval_assemble_gm_all: the shared-
+            # stencil variant measured slower)
             def matvec(v):
                 vm = jnp.where(free_gm, v, 0.0)
                 out = None

@@ -85,6 +85,7 @@ class PackedSimulation:
         cg_maxiter: int = 1000,
         cg_flexible: bool | None = None,
         cg_reduce_dtype=None,
+        cg_fixed_iters: int | None = None,
         max_subdivisions: int = 0,
         dtype=None,
         mg_options: dict | None = None,
@@ -95,6 +96,14 @@ class PackedSimulation:
         self.space = space
         self.bcs = bcs
         self.del_t = del_t
+        from ..models.interfaces import IncrSmallStrainModel
+
+        if isinstance(laws, IncrSmallStrainModel):
+            self._law_cells = (
+                np.arange(space.mesh.num_cells, dtype=np.int32),
+            )
+        else:
+            self._law_cells = tuple(np.asarray(c, np.int32) for _, c in laws)
         geos, models, state = build_packed_problem(space, laws, q_degree, dtype)
         self._geos, self._models = geos, models
         self.state: PackedState = state
@@ -255,6 +264,7 @@ class PackedSimulation:
             matvec_impl=matvec_impl,
             cg_flexible=cg_flexible,
             cg_reduce_dtype=cg_reduce_dtype,
+            cg_fixed_iters=cg_fixed_iters,
             eval_impl=eval_impl,
             matmul_precision=matmul_precision,
         )
@@ -297,10 +307,11 @@ class PackedSimulation:
 
                 self._operands = (geos, pc)
             else:
-                # non-pytree preconditioner (e.g. the whole-grid geometric
-                # V-cycle wrapper for multi-material box meshes): geometry
-                # still crosses as an argument; the callable closes over its
-                # own (small, folded) hierarchy constants
+                # non-pytree preconditioner on a NON-structured geometry
+                # (defensive: currently only reachable with a user-supplied
+                # callable pc on the gather path — structured cases close
+                # over their pc above): geometry still crosses as an
+                # argument; the callable closes over its own constants
                 def step(models, st, bc_dofs, bc_vals, f_ext, dt, geos_a):
                     inner = make_packed_step(
                         geos_a, preconditioner=pc, **step_opts
@@ -501,15 +512,22 @@ class PackedSimulation:
 
     @property
     def stress(self) -> np.ndarray:
-        """Committed Mandel stress in reference-compatible [C, Q, s] order."""
-        geo = self._geos[0]
-        s = self.state.stress[0]
-        if hasattr(geo, "extract_cells"):  # flat structured engine [s, Q, M]
-            return np.asarray(geo.extract_cells(s)).transpose(2, 1, 0)
-        sdim = s.shape[0]
-        return (
-            np.asarray(s).reshape(sdim, geo.n_qp, geo.n_cells).transpose(2, 1, 0)
-        )
+        """Committed Mandel stress in reference-compatible [C, Q, s] order
+        (all laws scattered into mesh cell order)."""
+        sdim = self._geos[0].constraint.stress_strain_dim
+        n_qp = self._geos[0].n_qp
+        out = np.zeros((self.space.mesh.num_cells, n_qp, sdim))
+        for geo, cells, s in zip(self._geos, self._law_cells, self.state.stress):
+            if hasattr(geo, "extract_cells"):  # structured [s, Q, M]
+                blk = np.asarray(geo.extract_cells(s)).transpose(2, 1, 0)
+            else:  # packed [s, N], q-major
+                blk = (
+                    np.asarray(s)
+                    .reshape(sdim, geo.n_qp, geo.n_cells)
+                    .transpose(2, 1, 0)
+                )
+            out[cells] = blk
+        return out
 
     @property
     def histories(self):

@@ -71,16 +71,18 @@ def main() -> None:
           f"({len(cells_soft)}/{len(cells_hard)} cells), "
           f"{sim._geos[0].N + sim._geos[1].N} logical QPs", flush=True)
 
-    # warm past yield (one Newton iteration per call, bench.py style)
-    for k in (0.5, 1.0, 1.5):
-        bcs[1].value = 0.004 * k
-        sim.solve()
-    jax.block_until_ready(sim.state.u)
-    print("warmed", flush=True)
-
     bc_dofs, _ = combine_bcs(bcs)
     move = set(np.asarray(bcs[1].dofs).tolist())
     cols = [i for i, d in enumerate(bc_dofs) if d in move]
+
+    # warm past yield with a COMMITTED ramp: solve_schedule commits state
+    # (plain solve() with this zero-tolerance single-iteration config
+    # reports unconverged and rolls back, leaving the state virgin)
+    warm = np.zeros((3, len(bc_dofs)))
+    warm[:, cols] = (0.004 * np.array([0.5, 1.0, 1.5]))[:, None]
+    sim.solve_schedule(warm)
+    jax.block_until_ready(sim.state.u)
+    print("warmed (committed)", flush=True)
 
     def ramp_vals(j):
         # bench.py's real-ramp protocol: +0.05 load scale per step
@@ -98,6 +100,10 @@ def main() -> None:
         w = (time.perf_counter() - t0) / K
         if w * K * 1000.0 >= 50.0:
             best = min(best, w)
+    assert np.isfinite(best), (
+        "every timing window was under the 50 ms tunnel-memoization guard; "
+        "no honest number exists — rerun with larger MM_N/MM_STEPS"
+    )
     r = float(stats["r_norm"][-1])
     print(json.dumps({
         "metric": "mises_multimat_50cube_newton_step",

@@ -492,3 +492,55 @@ def test_adaptive_substepping_ramps_f_ext_from_zero():
     sim2 = PackedSimulation(law, V, bcs, 2, f_ext=f_ext, max_subdivisions=0)
     _, converged2 = sim2.solve()
     assert not converged2
+
+
+def test_multimaterial_grid_major_matches_aos():
+    """Multi-law PackedSimulation runs the GRID-MAJOR shared-stencil loop
+    (make_packed_step eval_assemble_gm_all / multi_matvec_gm) with the
+    whole-grid V-cycle — and must match the AoS interactive engine. The
+    engine-parity tests go through IncrSmallStrainProblem's node-major
+    loop; THIS pins the production multi-law fast path itself."""
+    V, bcs, bc_move = setup()
+    mid = V.mesh.cell_midpoints()
+    cells_l = np.flatnonzero(mid[:, 0] < 0.5).astype(np.int32)
+    cells_r = np.flatnonzero(mid[:, 0] >= 0.5).astype(np.int32)
+
+    def laws():
+        from fenics_constitutive_tpu.models import (
+            Constraint,
+            LinearElasticityModel,
+        )
+
+        return [
+            (LinearElasticityModel({"E": 60000.0, "nu": 0.3}, Constraint.FULL),
+             cells_l),
+            (VonMises3D({"p_ka": 175000.0, "p_mu": 80769.0, "p_y0": 300.0,
+                         "p_y00": 800.0, "p_w": 200.0}), cells_r),
+        ]
+
+    sim = PackedSimulation(
+        laws(), V, bcs, 2, preconditioner="vcycle",
+        newton_rtol=1e-12, newton_atol=1e-10, cg_rtol=1e-13,
+    )
+    # the production fast path actually engaged
+    assert all(hasattr(g, "matvec_gm") for g in sim._geos)
+    assert len(sim._geos) == 2
+
+    prob = IncrSmallStrainProblem(laws(), V, bcs, 2, engine="aos")
+    for k in (1, 2):
+        bc_move.value = 0.004 * k
+        n_s, c_s = sim.solve()
+        assert c_s
+        n_p, c_p = prob.solve()
+        assert c_p
+        prob.update()
+
+    np.testing.assert_allclose(
+        np.asarray(sim.u), np.asarray(prob.u), rtol=0, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(sim.stress), np.asarray(prob.stress_0), rtol=1e-8, atol=1e-7
+    )
+    # plasticity happened on the Mises half
+    a = np.asarray(sim.histories[1]["alpha"])
+    assert a.max() > 0
