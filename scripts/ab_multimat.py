@@ -59,11 +59,13 @@ def main() -> None:
          cells_soft),
         (VonMises3D(MAT), cells_hard),
     ]
+    fixed = os.environ.get("MM_FIXED")  # optional fixed CG count
     sim = PackedSimulation(
         laws, V, bcs, 2, preconditioner="vcycle",
         mg_options={"nu": 3, "nu_coarse": 2, "coarse_direct": True},
         newton_rtol=0.0, newton_atol=0.0, max_newton=1,
         cg_rtol=1e-5, cg_maxiter=400,
+        cg_fixed_iters=int(fixed) if fixed else None,
     )
     for g in sim._geos:
         assert hasattr(g, "matvec_gm"), "fell off the structured path"
