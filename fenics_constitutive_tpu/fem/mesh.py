@@ -135,5 +135,7 @@ def unit_cube_mesh(nx: int, ny: int, nz: int, cell_type: str = "tetra") -> Mesh:
                 else:
                     msg = f"unknown 3D cell type {cell_type}"
                     raise ValueError(msg)
-    structured = (nx, ny, nz) if cell_type == "hex" else None
+    # tetra meshes are Kuhn subdivisions of the same box grid: translation-
+    # invariant per class, so they get the structured fast path too
+    structured = (nx, ny, nz) if cell_type in ("hex", "tetra") else None
     return Mesh(nodes, np.asarray(cells, np.int32), cell_type, structured)

@@ -51,6 +51,8 @@ __all__ = [
     "StructuredGeometry",
     "build_structured_geometry",
     "restrict_structured_geometry",
+    "StructuredTetGeometry",
+    "build_structured_tet_geometry",
     "LatticeGeometry",
     "build_lattice_geometry",
 ]
@@ -119,9 +121,16 @@ class StructuredGeometry:
     def maxoff(self) -> int:
         return max(self.offsets)
 
+    @property
+    def qp_layout(self) -> int:
+        """Second axis of the [k, qp_layout, M] field layout. Equals n_qp
+        here; the structured-TET engine packs its 6 cell classes along this
+        axis (qp_layout = 6 * n_qp) while n_qp stays the per-cell count."""
+        return self.n_qp
+
     def qp_shape(self, k: int) -> tuple:
         """Shape of a k-component QP field in this engine's native layout."""
-        return (k, self.n_qp, self.M)
+        return (k, self.qp_layout, self.M)
 
     # -- layout plumbing -------------------------------------------------------
     # "grid-major" (gm) dof vectors are [vs, M] flattened (component-major);
@@ -164,11 +173,11 @@ class StructuredGeometry:
             self.KEPS_c.astype(U.dtype), U, preferred_element_type=U.dtype
         )
         e = e * self.mask.astype(U.dtype)
-        return e.reshape(self.sdim, self.n_qp, self.M)
+        return e.reshape(self.sdim, self.qp_layout, self.M)
 
     def residual_gm(self, sigma: jnp.ndarray) -> jnp.ndarray:
         """sigma [s, Q, M] -> grid-major assembled force [vs*M]."""
-        sig = sigma.reshape(self.sdim * self.n_qp, self.M) * self.mask.astype(
+        sig = sigma.reshape(self.sdim * self.qp_layout, self.M) * self.mask.astype(
             sigma.dtype
         )
         F = jnp.matmul(
@@ -692,4 +701,218 @@ def build_lattice_geometry(
         n_qp=Q,
         n_cells=int(np.prod(grid)),
         dN_host=_tup(dN),
+    )
+
+
+# ---------------------------------------------------------------------------
+# structured TETRAHEDRA: Kuhn-subdivided box meshes on the hex channel engine
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["KEPS_c", "KDIV_c", "mask", "cell_index", "KE_I", "KE_V"],
+    meta_fields=[
+        "grid", "vs", "ndofs", "constraint", "n_nodes", "n_qp", "n_cells",
+        "M", "offsets", "dN_host", "w_host", "n_classes", "class_dN_host",
+        "class_channels",
+    ],
+)
+@dataclass(frozen=True)
+class StructuredTetGeometry(StructuredGeometry):
+    """Gather-free engine for Kuhn-subdivided box TET meshes.
+
+    Why this exists: the general tet path is the gather engine, and TPU
+    scalar gathers are the wall — measured 53.7 ms for ONE [n, vs, C] u-
+    gather at 257k tets (scripts/profile_gather.py), ~29 us/QP per Newton
+    step overall (scripts/bench_amg_tpu.py). But unit_cube_mesh('tetra')
+    splits every cube into the SAME 6 Kuhn tets (fem/mesh.py _KUHN_PATHS),
+    so the mesh is translation-invariant per class: every tet vertex is one
+    of its cube's 8 corners. The 6 classes therefore FOLD into the hex
+    engine's corner-channel machinery — one [8*vs, M] corner gather (static
+    slices), one [s*6Q, 8*vs] strain matmul whose rows stack the classes
+    along the QP-layout axis, one weighted divergence matmul, one corner
+    scatter. Zero gathers, same conv-class cost as the hex engine.
+
+    Layout: fields are [k, 6*Q, M] (qp_layout = n_classes * n_qp) on the
+    cube-origin footprint; per-cell observation (n_qp = Q per tet,
+    n_cells = 6 * #cubes) goes through the overridden extract/insert with
+    tet t = cube * 6 + class.
+    """
+
+    n_classes: int = 6
+    #: per class: dN/dx [4][g][Q] nested host tuples
+    class_dN_host: tuple = ()
+    #: per class: cube-corner channel (dx + 2 dy + 4 dz) of each local vertex
+    class_channels: tuple = ()
+
+    @property
+    def qp_layout(self) -> int:
+        return self.n_classes * self.n_qp
+
+    # -- observation ---------------------------------------------------------
+
+    def extract_cells(self, field: jnp.ndarray) -> jnp.ndarray:
+        """[k, 6Q, M] -> dense [k, Q, C_tet] in mesh cell order
+        (tet t = cube * 6 + class; cubes in the hex engine's cell order)."""
+        k = field.shape[0]
+        f = field.reshape(k, self.n_classes, self.n_qp, self.M)
+        blk = f[:, :, :, self.cell_index]  # [k, K, Q, Ncube]
+        # -> [k, Q, Ncube, K] -> [k, Q, Ncube*K] with tet = cube*K + class
+        return jnp.transpose(blk, (0, 2, 3, 1)).reshape(k, self.n_qp, -1)
+
+    def insert_cells(self, dense: jnp.ndarray, dtype=None) -> jnp.ndarray:
+        """[k, Q, C_tet] -> [k, 6Q, M] cube-origin layout."""
+        k, Q, C = dense.shape
+        ncube = C // self.n_classes
+        d = dense.reshape(k, Q, ncube, self.n_classes)
+        d = jnp.transpose(d, (0, 3, 1, 2))  # [k, K, Q, Ncube]
+        out = jnp.zeros((k, self.n_classes, Q, self.M), dtype or dense.dtype)
+        out = out.at[:, :, :, self.cell_index].set(d)
+        return out.reshape(k, self.qp_layout, self.M)
+
+    def grad(self, u: jnp.ndarray) -> jnp.ndarray:
+        """Full displacement gradient [g, vs, 6Q*M] (observation path)."""
+        dtype = u.dtype
+        U = self._corner_dofs(self.to_grid_major(u).reshape(self.vs, self.M))
+        U = U.reshape(self.n_nodes, self.vs, self.M) * self.mask.astype(dtype)
+        g = self.gdim
+        parts = []
+        for kls in range(self.n_classes):
+            dN = jnp.asarray(np.asarray(self.class_dN_host[kls]), dtype)
+            ch = self.class_channels[kls]
+            Uk = jnp.stack([U[c] for c in ch])  # [4, vs, M]
+            parts.append(jnp.einsum("aiq,ajm->ijqm", dN, Uk))  # [g, vs, Q, M]
+        out = jnp.stack(parts, axis=2)  # [g, vs, K, Q, M]
+        return out.reshape(g, self.vs, self.qp_layout * self.M)
+
+    # -- Jacobi diagonal from the folded strain rows --------------------------
+
+    def jacobi_diag_gm(self, tangent) -> jnp.ndarray:
+        dtype = self.KEPS_c.dtype
+        B = self.KEPS_c.reshape(self.sdim, self.qp_layout, self.n_nodes * self.vs)
+        w = jnp.asarray(np.asarray(self.w_host), dtype)  # [6Q] (detJ folded)
+        m = self.mask.astype(dtype)
+        rows = []
+        for a in range(self.n_nodes):
+            # B_a [s, vs, 6Q, 1] broadcasts against tangent fields [6Q, M]
+            B_a = jnp.transpose(
+                B[:, :, a * self.vs : (a + 1) * self.vs], (0, 2, 1)
+            )[..., None]
+            q = tangent.quad_diag(B_a) * w[:, None]
+            q = jnp.broadcast_to(q, (self.vs, self.qp_layout, self.M))
+            rows.append(q.sum(axis=1) * m)
+        F = jnp.concatenate(rows, axis=0)
+        return self._scatter_corners(F).reshape(-1)
+
+
+def build_structured_tet_geometry(
+    space, q_degree: int, constraint: Constraint, dtype=None
+) -> StructuredTetGeometry:
+    """Flat-index geometry for a Kuhn tet box mesh (unit_cube_mesh('tetra'))."""
+    from ..fem.elements import tabulate_element
+    from ..fem.kinematics import _geometry_grad_at
+
+    dtype = dtype or jnp.result_type(float)
+    mesh = space.mesh
+    grid = getattr(mesh, "structured_shape", None)
+    assert grid is not None and mesh.cell_type == "tetra"
+    assert space.degree == 1, "structured tet path supports degree 1"
+
+    elem, quad = tabulate_element("tetra", space.degree, q_degree)
+    geom_dN = _geometry_grad_at("tetra", quad.points)
+    gdim = 3
+    sdim = constraint.stress_strain_dim
+    Q = quad.points.shape[0]
+    vs = space.value_size
+    M_map = mandel._mandel_matrix_map(constraint)
+
+    node_grid = tuple(g + 1 for g in grid)
+    M = int(np.prod(node_grid))
+    strides = [1]
+    for L in reversed(node_grid[1:]):
+        strides.append(strides[-1] * L)
+    strides = list(reversed(strides))
+    offs = _corner_offsets(gdim)  # channel a = dx + 2 dy + 4 dz
+    flat_offsets = tuple(
+        int(sum(o * st for o, st in zip(off, strides))) for off in offs
+    )
+
+    # the first 6 mesh cells ARE the 6 classes of cube (0,0,0); every other
+    # cube repeats them translated (fem/mesh.py _KUHN_PATHS ordering)
+    K = 6
+    n_ch = len(offs)
+    KEPS_c = np.zeros((sdim * K * Q, n_ch * vs))
+    w_flat = np.zeros(K * Q)
+    class_dN = []
+    class_channels = []
+    KE_I = np.zeros((n_ch * vs, n_ch * vs))
+    KE_V = np.zeros((n_ch * vs, n_ch * vs))
+    n_diag = min(3, sdim)
+    for k in range(K):
+        verts = mesh.nodes[mesh.cells[k]]  # [4, 3] actual coordinates
+        # cube-corner bit pattern of each vertex -> channel id
+        bits = np.rint(verts * np.asarray(grid)).astype(int)
+        channels = [int(b[0] % 2 + 2 * (b[1] % 2) + 4 * (b[2] % 2)) for b in bits]
+        # exact: bits are 0/1 within the first cube
+        channels = [int(b[0] + 2 * b[1] + 4 * b[2]) for b in bits]
+        J = np.einsum("vi,qvj->qij", verts, geom_dN)
+        detJ = np.abs(np.linalg.det(J))
+        Jinv = np.linalg.inv(J)
+        dN = np.einsum("qaj,qji->aiq", elem.dN_dxi, Jinv)  # [4, g, Q]
+        w = quad.weights * detJ  # [Q]
+        class_dN.append(dN)
+        class_channels.append(tuple(channels))
+        for v in range(4):
+            a = channels[v]
+            for s in range(sdim):
+                for q in range(Q):
+                    for j in range(vs):
+                        KEPS_c[s * (K * Q) + k * Q + q, a * vs + j] += sum(
+                            M_map[s, i, j] * dN[v, i, q] for i in range(gdim)
+                        )
+        for q in range(Q):
+            w_flat[k * Q + q] = w[q]
+
+    KDIV_c = KEPS_c.T.copy()
+    for kq in range(K * Q):
+        KDIV_c[:, [s * (K * Q) + kq for s in range(sdim)]] *= w_flat[kq]
+
+    for kq in range(K * Q):
+        B_q = KEPS_c[[s * (K * Q) + kq for s in range(sdim)], :]
+        KE_I += w_flat[kq] * (B_q.T @ B_q)
+        bv = B_q[:n_diag].sum(axis=0)
+        KE_V += w_flat[kq] * np.outer(bv, bv)
+
+    idx_nd = np.indices(node_grid)
+    valid = np.ones(node_grid, bool)
+    for d in range(gdim):
+        valid &= idx_nd[d] < grid[d]
+    mask = valid.reshape(-1).astype(np.float64)
+    cell_index = np.flatnonzero(mask).astype(np.int32)
+
+    def _tup(x):
+        return tuple(map(_tup, x)) if isinstance(x, np.ndarray) and x.ndim else float(x)
+
+    return StructuredTetGeometry(
+        KEPS_c=jnp.asarray(KEPS_c, dtype),
+        KDIV_c=jnp.asarray(KDIV_c, dtype),
+        mask=jnp.asarray(mask, dtype),
+        cell_index=jnp.asarray(cell_index),
+        KE_I=jnp.asarray(KE_I, dtype),
+        KE_V=jnp.asarray(KE_V, dtype),
+        grid=tuple(grid),
+        vs=vs,
+        ndofs=space.ndofs,
+        constraint=constraint,
+        n_nodes=n_ch,  # CHANNELS (cube corners), not tet vertices
+        n_qp=Q,  # per-TET quadrature count (observation contract)
+        n_cells=int(K * np.prod(grid)),
+        M=M,
+        offsets=flat_offsets,
+        dN_host=(),  # unused (hex-specific); class_dN_host replaces it
+        w_host=_tup(w_flat),
+        n_classes=K,
+        class_dN_host=tuple(_tup(d) for d in class_dN),
+        class_channels=tuple(class_channels),
     )

@@ -58,7 +58,11 @@ def shard_problem(problem, mesh: Mesh, axis: str = "cells") -> None:
     repl = NamedSharding(mesh, P())
 
     def last_axis_sh(a):
-        """Shard an array on its LAST axis (packed/structured layouts)."""
+        """Shard an array on its LAST axis (packed/structured layouts);
+        REPLICATE when the axis is not device-divisible (tiny meshes /
+        odd grids) — replication is always correct, just not distributed."""
+        if a.shape[-1] % mesh.size != 0:
+            return _put(a, repl)
         return _put(a, NamedSharding(mesh, P(*([None] * (a.ndim - 1)), axis)))
 
     def shard_geo(geo):

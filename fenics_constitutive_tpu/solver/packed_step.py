@@ -68,7 +68,7 @@ def build_packed_problem(space, laws, q_degree, dtype=None):
     def make_geo(cells):
         whole_mesh = len(cells) == space.mesh.num_cells
         box = space.mesh.structured_shape is not None
-        if box and space.degree == 1:
+        if box and space.degree == 1 and space.mesh.cell_type in ("hex", "quad"):
             # gather-free stencil fast path for box-structured grids; a law
             # on a cell SUBSET keeps it via a masked view — dense sweeps with
             # the other laws' cell origins zeroed beat falling back to the
@@ -83,6 +83,18 @@ def build_packed_problem(space, laws, q_degree, dtype=None):
             from ..ops.structured import restrict_structured_geometry
 
             return restrict_structured_geometry(geo, cells)
+        if (
+            box
+            and space.degree == 1
+            and space.mesh.cell_type == "tetra"
+            and whole_mesh
+        ):
+            # Kuhn tet box meshes fold onto the hex corner channels — zero
+            # gathers (the gather engine measures ~29 us/QP on TPU; see
+            # ops.structured.StructuredTetGeometry)
+            from ..ops.structured import build_structured_tet_geometry
+
+            return build_structured_tet_geometry(space, q_degree, constraint, dtype)
         if (
             whole_mesh
             and box

@@ -682,11 +682,12 @@ class IncrSmallStrainProblem:
             vs = self.space.value_size
             out = []
             for geo, cells in zip(self._pk_geos, self._law_cells):
-                grad = geo.grad(du)  # [g, vs, N] (padded structured: N = Q*M)
+                grad = geo.grad(du)  # [g, vs, N] (padded structured: N = lay*M)
                 if hasattr(geo, "cell_index"):  # cell-at-origin footprint
-                    grad = grad.reshape(g * vs, geo.n_qp, geo.M)[
-                        :, :, geo.cell_index
-                    ].reshape(g, vs, geo.n_qp, len(cells))
+                    lay = geo.qp_shape(1)[1]  # layout QP axis (6*Q for tets)
+                    grad = geo.extract_cells(
+                        grad.reshape(g * vs, lay, geo.M)
+                    ).reshape(g, vs, geo.n_qp, len(cells))
                 else:  # dense [.., Q*C] (packed / lattice engines)
                     grad = grad.reshape(g, vs, self._n_qp, len(cells))
                 out.append(jnp.transpose(grad, (3, 2, 0, 1)))

@@ -209,6 +209,7 @@ class PackedSimulation:
             elif (
                 space.degree == 2
                 and space.mesh.structured_shape is not None
+                and space.mesh.cell_type in ("hex", "quad")
                 and len(geos) == 1
             ):
                 # degree-2 on a box mesh: the P1 hierarchy on the P2 dof

@@ -28,7 +28,8 @@ MAT = {
 
 
 def make_problem():
-    mesh = unit_cube_mesh(2, 2, 2, "tetra")
+    # 3x3x3: the structured-tet engine shards on the 64-node grid axis
+    mesh = unit_cube_mesh(3, 3, 3, "tetra")
     V = FunctionSpace(mesh, 1, 3)
 
     def close(axis, v):

@@ -1,0 +1,114 @@
+"""Structured-tet engine (ops.structured.StructuredTetGeometry): the Kuhn
+6-tet classes of a box tet mesh folded onto the hex corner channels — zero
+gathers. Pinned op-by-op against the general gather engine and end-to-end
+through the production driver (measured on v5e: 16.9 ms per verified 1M-QP
+Mises Newton step vs 29.8 s on the gather path, scripts/bench_tet.py)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fenics_constitutive_tpu.fem import DirichletBC, FunctionSpace, unit_cube_mesh
+from fenics_constitutive_tpu.models import VonMises3D
+from fenics_constitutive_tpu.ops.mandel import Constraint
+from fenics_constitutive_tpu.ops.packed import IsotropicTangent, build_packed_geometry
+from fenics_constitutive_tpu.ops.structured import (
+    StructuredTetGeometry,
+    build_structured_tet_geometry,
+)
+from fenics_constitutive_tpu.solver import IncrSmallStrainProblem, PackedSimulation
+
+MAT = {"p_ka": 175000.0, "p_mu": 80769.0, "p_y0": 1200.0,
+       "p_y00": 2500.0, "p_w": 200.0}
+
+
+def test_ops_match_gather_engine():
+    """strain/residual/matvec/jacobi on an anisotropic box == the general
+    gather engine, to machine precision."""
+    mesh = unit_cube_mesh(3, 4, 5, "tetra")
+    V = FunctionSpace(mesh, 1, 3)
+    cells = np.arange(mesh.num_cells, dtype=np.int32)
+    gt = build_structured_tet_geometry(V, 2, Constraint.FULL)
+    gp = build_packed_geometry(V, 2, Constraint.FULL, cells, jnp.float64)
+
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.normal(size=V.ndofs))
+
+    eps_t = np.asarray(gt.extract_cells(gt.strain(u)))
+    eps_p = np.asarray(gp.strain(u)).reshape(6, gp.n_qp, gp.n_cells)
+    np.testing.assert_allclose(eps_t, eps_p, atol=1e-13)
+
+    sig = rng.normal(size=(6, gt.n_qp, gt.n_cells))
+    r_t = gt.residual(gt.insert_cells(jnp.asarray(sig)))
+    r_p = gp.residual(jnp.asarray(sig.reshape(6, -1)))
+    np.testing.assert_allclose(np.asarray(r_t), np.asarray(r_p), atol=1e-13)
+
+    beta = rng.uniform(1.0, 2.0, size=(gt.n_qp, gt.n_cells))
+    nvec = rng.normal(size=(6, gt.n_qp, gt.n_cells))
+    tg_t = IsotropicTangent(
+        kappa=jnp.asarray(3.0),
+        beta=gt.insert_cells(jnp.asarray(beta)[None])[0],
+        gamma=gt.insert_cells(jnp.asarray(0.7 * beta)[None])[0],
+        n=gt.insert_cells(jnp.asarray(nvec)),
+    )
+    tg_p = IsotropicTangent(
+        kappa=jnp.asarray(3.0),
+        beta=jnp.asarray(beta.reshape(-1)),
+        gamma=jnp.asarray(0.7 * beta.reshape(-1)),
+        n=jnp.asarray(nvec.reshape(6, -1)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(gt.matvec(u, tg_t)), np.asarray(gp.matvec(u, tg_p)), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(gt.jacobi_diag(tg_t)), np.asarray(gp.jacobi_diag(tg_p)),
+        atol=1e-12,
+    )
+
+
+@pytest.mark.slow
+def test_tet_bvp_through_production_driver_matches_aos():
+    """Box tet plasticity BVP on PackedSimulation (structured-tet engine +
+    whole-grid V-cycle) == the AoS interactive engine."""
+    mesh = unit_cube_mesh(3, 3, 3, "tetra")
+    V = FunctionSpace(mesh, 1, 3)
+
+    def close(axis, v):
+        return lambda x: np.isclose(x[:, axis], v)
+
+    def build_bcs():
+        bm = DirichletBC(V.locate_dofs_geometrical(close(0, 1.0), component=0), 0.0)
+        return [
+            DirichletBC(V.locate_dofs_geometrical(close(0, 0.0), component=0), 0.0),
+            bm,
+            DirichletBC(V.locate_dofs_geometrical(close(1, 0.0), component=1), 0.0),
+            DirichletBC(V.locate_dofs_geometrical(close(2, 0.0), component=2), 0.0),
+        ], bm
+
+    bcs_s, bm_s = build_bcs()
+    sim = PackedSimulation(
+        VonMises3D(MAT), V, bcs_s, 2, preconditioner="vcycle",
+        newton_rtol=1e-12, newton_atol=1e-10, cg_rtol=1e-13,
+    )
+    assert isinstance(sim._geos[0], StructuredTetGeometry)
+
+    bcs_p, bm_p = build_bcs()
+    prob = IncrSmallStrainProblem(VonMises3D(MAT), V, bcs_p, 2, engine="aos")
+
+    for k in (1, 2, 3):
+        bm_s.value = 0.004 * k
+        bm_p.value = 0.004 * k
+        n_s, c_s = sim.solve()
+        assert c_s
+        n_p, c_p = prob.solve()
+        assert c_p
+        prob.update()
+
+    np.testing.assert_allclose(
+        np.asarray(sim.u), np.asarray(prob.u), rtol=0, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(sim.stress), np.asarray(prob.stress_0), rtol=1e-8, atol=1e-7
+    )
+    assert np.asarray(sim.histories[0]["alpha"]).max() > 0  # plasticity ran
