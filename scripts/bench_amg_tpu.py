@@ -34,10 +34,7 @@ from fenics_constitutive_tpu.fem import DirichletBC, FunctionSpace, unit_cube_me
 from fenics_constitutive_tpu.fem.bcs import combine_bcs
 from fenics_constitutive_tpu.models import VonMises3D
 from fenics_constitutive_tpu.solver.amg import build_amg
-from fenics_constitutive_tpu.solver.packed_step import (
-    build_packed_problem,
-    make_packed_step,
-)
+from fenics_constitutive_tpu.solver.packed_step import make_packed_step
 
 MAT = {"p_ka": 175000.0, "p_mu": 80769.0, "p_y0": 1200.0,
        "p_y00": 2500.0, "p_w": 200.0}
@@ -60,10 +57,30 @@ def main() -> None:
         DirichletBC(V.locate_dofs_geometrical(close(1, 0.0), component=1), 0.0),
         DirichletBC(V.locate_dofs_geometrical(close(2, 0.0), component=2), 0.0),
     ]
-    geos, models, state = build_packed_problem(V, VonMises3D(MAT), q_degree=2)
+    # measure the GENERAL-mesh (gather) engine explicitly: box tets now
+    # auto-route to the structured-tet engine (scripts/bench_tet.py measures
+    # that one — 16.9 ms verified at this size), so build the gather
+    # geometry directly to keep this script's unstructured-path claim honest
+    import jax.numpy as _jnp
+
+    from fenics_constitutive_tpu.ops.packed import build_packed_geometry
+    from fenics_constitutive_tpu.solver.packed_step import PackedState
+
+    cells_all = np.arange(mesh.num_cells, dtype=np.int32)
+    law = VonMises3D(MAT)
+    geo_g = build_packed_geometry(V, 2, law.constraint, cells_all, _jnp.float32)
+    geos, models = (geo_g,), (law,)
+    sdim = law.constraint.stress_strain_dim
+    state = PackedState(
+        u=_jnp.zeros(V.ndofs, _jnp.float32),
+        stress=(_jnp.zeros(geo_g.qp_shape(sdim), _jnp.float32),),
+        histories=({k: _jnp.zeros(geo_g.qp_shape(d), _jnp.float32)
+                    for k, d in law.history_dim.items()},),
+        t=_jnp.asarray(0.0, _jnp.float32),
+    )
     dtype = state.u.dtype
     print(f"mesh: {mesh.num_cells} tets, {V.ndofs} dofs, "
-          f"{geos[0].N} QPs, dtype {dtype}", flush=True)
+          f"{geos[0].N} QPs, dtype {dtype} (GATHER engine, forced)", flush=True)
 
     bc_dofs, bc_vals = combine_bcs(bcs)
     free_np = np.ones(V.ndofs, bool)
