@@ -82,7 +82,8 @@ def unit_square_mesh(nx: int, ny: int, cell_type: str = "triangle") -> Mesh:
             else:
                 msg = f"unknown 2D cell type {cell_type}"
                 raise ValueError(msg)
-    structured = (nx, ny) if cell_type == "quad" else None
+    # triangle meshes are 2-class Kuhn splits of the same grid: structured too
+    structured = (nx, ny) if cell_type in ("quad", "triangle") else None
     return Mesh(nodes, np.asarray(cells, np.int32), cell_type, structured)
 
 

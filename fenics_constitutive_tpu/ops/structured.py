@@ -720,7 +720,8 @@ def build_lattice_geometry(
 )
 @dataclass(frozen=True)
 class StructuredTetGeometry(StructuredGeometry):
-    """Gather-free engine for Kuhn-subdivided box TET meshes.
+    """Gather-free engine for Kuhn-subdivided box SIMPLEX meshes
+    (6 tets per cube in 3D; 2 triangles per quad in 2D).
 
     Why this exists: the general tet path is the gather engine, and TPU
     scalar gathers are the wall — measured 53.7 ms for ONE [n, vs, C] u-
@@ -809,19 +810,20 @@ class StructuredTetGeometry(StructuredGeometry):
 def build_structured_tet_geometry(
     space, q_degree: int, constraint: Constraint, dtype=None
 ) -> StructuredTetGeometry:
-    """Flat-index geometry for a Kuhn tet box mesh (unit_cube_mesh('tetra'))."""
+    """Flat-index geometry for Kuhn simplex box meshes: unit_cube_mesh
+    ('tetra', 6 classes) and unit_square_mesh('triangle', 2 classes)."""
     from ..fem.elements import tabulate_element
     from ..fem.kinematics import _geometry_grad_at
 
     dtype = dtype or jnp.result_type(float)
     mesh = space.mesh
     grid = getattr(mesh, "structured_shape", None)
-    assert grid is not None and mesh.cell_type == "tetra"
-    assert space.degree == 1, "structured tet path supports degree 1"
+    assert grid is not None and mesh.cell_type in ("tetra", "triangle")
+    assert space.degree == 1, "structured simplex path supports degree 1"
 
-    elem, quad = tabulate_element("tetra", space.degree, q_degree)
-    geom_dN = _geometry_grad_at("tetra", quad.points)
-    gdim = 3
+    elem, quad = tabulate_element(mesh.cell_type, space.degree, q_degree)
+    geom_dN = _geometry_grad_at(mesh.cell_type, quad.points)
+    gdim = len(grid)
     sdim = constraint.stress_strain_dim
     Q = quad.points.shape[0]
     vs = space.value_size
@@ -838,9 +840,9 @@ def build_structured_tet_geometry(
         int(sum(o * st for o, st in zip(off, strides))) for off in offs
     )
 
-    # the first 6 mesh cells ARE the 6 classes of cube (0,0,0); every other
-    # cube repeats them translated (fem/mesh.py _KUHN_PATHS ordering)
-    K = 6
+    # the first K mesh cells ARE the K classes of box (0,..,0); every other
+    # box repeats them translated (fem/mesh.py orderings)
+    K = mesh.num_cells // int(np.prod(grid))
     n_ch = len(offs)
     KEPS_c = np.zeros((sdim * K * Q, n_ch * vs))
     w_flat = np.zeros(K * Q)
@@ -849,21 +851,21 @@ def build_structured_tet_geometry(
     KE_I = np.zeros((n_ch * vs, n_ch * vs))
     KE_V = np.zeros((n_ch * vs, n_ch * vs))
     n_diag = min(3, sdim)
+    n_vert = gdim + 1  # simplex
     for k in range(K):
-        verts = mesh.nodes[mesh.cells[k]]  # [4, 3] actual coordinates
-        # cube-corner bit pattern of each vertex -> channel id
+        verts = mesh.nodes[mesh.cells[k]]  # [n_vert, gdim] coordinates
+        # box-corner bit pattern of each vertex (0/1 in the first box) ->
+        # channel id a = sum_d bit_d << d (matching _corner_offsets)
         bits = np.rint(verts * np.asarray(grid)).astype(int)
-        channels = [int(b[0] % 2 + 2 * (b[1] % 2) + 4 * (b[2] % 2)) for b in bits]
-        # exact: bits are 0/1 within the first cube
-        channels = [int(b[0] + 2 * b[1] + 4 * b[2]) for b in bits]
+        channels = [int(sum(int(b[d]) << d for d in range(gdim))) for b in bits]
         J = np.einsum("vi,qvj->qij", verts, geom_dN)
         detJ = np.abs(np.linalg.det(J))
         Jinv = np.linalg.inv(J)
-        dN = np.einsum("qaj,qji->aiq", elem.dN_dxi, Jinv)  # [4, g, Q]
+        dN = np.einsum("qaj,qji->aiq", elem.dN_dxi, Jinv)  # [n_vert, g, Q]
         w = quad.weights * detJ  # [Q]
         class_dN.append(dN)
         class_channels.append(tuple(channels))
-        for v in range(4):
+        for v in range(n_vert):
             a = channels[v]
             for s in range(sdim):
                 for q in range(Q):

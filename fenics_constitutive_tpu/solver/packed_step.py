@@ -86,7 +86,7 @@ def build_packed_problem(space, laws, q_degree, dtype=None):
         if (
             box
             and space.degree == 1
-            and space.mesh.cell_type == "tetra"
+            and space.mesh.cell_type in ("tetra", "triangle")
             and whole_mesh
         ):
             # Kuhn tet box meshes fold onto the hex corner channels — zero

@@ -112,3 +112,29 @@ def test_tet_bvp_through_production_driver_matches_aos():
         np.asarray(sim.stress), np.asarray(prob.stress_0), rtol=1e-8, atol=1e-7
     )
     assert np.asarray(sim.histories[0]["alpha"]).max() > 0  # plasticity ran
+
+
+def test_triangle_ops_match_gather_engine():
+    """The same class machinery serves 2D box triangle meshes (2 classes)."""
+    from fenics_constitutive_tpu.fem import unit_square_mesh
+
+    mesh = unit_square_mesh(3, 5, "triangle")
+    V = FunctionSpace(mesh, 1, 2)
+    cells = np.arange(mesh.num_cells, dtype=np.int32)
+    gt = build_structured_tet_geometry(V, 2, Constraint.PLANE_STRAIN)
+    gp = build_packed_geometry(V, 2, Constraint.PLANE_STRAIN, cells, jnp.float64)
+    assert gt.n_classes == 2
+
+    rng = np.random.default_rng(1)
+    u = jnp.asarray(rng.normal(size=V.ndofs))
+    sd = gt.sdim
+    eps_t = np.asarray(gt.extract_cells(gt.strain(u)))
+    eps_p = np.asarray(gp.strain(u)).reshape(sd, gp.n_qp, gp.n_cells)
+    np.testing.assert_allclose(eps_t, eps_p, atol=1e-13)
+
+    sig = rng.normal(size=(sd, gt.n_qp, gt.n_cells))
+    np.testing.assert_allclose(
+        np.asarray(gt.residual(gt.insert_cells(jnp.asarray(sig)))),
+        np.asarray(gp.residual(jnp.asarray(sig.reshape(sd, -1)))),
+        atol=1e-13,
+    )
