@@ -8,7 +8,7 @@ ramp, K-step lax.scan dispatches, fixed-count CG verified in-run against a
 deep fixed count.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_tet.py
-Env: TET_N (default 35 -> 1.029M QPs), TET_FIXED (default 11),
+Env: TET_N (default 35 -> 1.029M QPs), TET_FIXED (default 14),
      TET_STEPS (default 16), TET_VERIFY (default 40).
 """
 
@@ -42,7 +42,10 @@ MAT = {"p_ka": 175000.0, "p_mu": 80769.0, "p_y0": 1200.0,
 
 def main() -> None:
     n = int(os.environ.get("TET_N", "35"))
-    fixed = int(os.environ.get("TET_FIXED", "11"))
+    # honest minimum on the tet spectrum (in-run deep-CG sweep, v5e):
+    # fixed-14 +0.15% PASSES (15.44 ms), fixed-13 +3.5% FAILS, fixed-16
+    # +0.75% (16.85 ms), fixed-11 +14% FAILS
+    fixed = int(os.environ.get("TET_FIXED", "14"))
     K = int(os.environ.get("TET_STEPS", "16"))
     verify = int(os.environ.get("TET_VERIFY", "40"))
 

@@ -1,7 +1,7 @@
 """Structured-tet engine (ops.structured.StructuredTetGeometry): the Kuhn
 6-tet classes of a box tet mesh folded onto the hex corner channels — zero
 gathers. Pinned op-by-op against the general gather engine and end-to-end
-through the production driver (measured on v5e: 16.9 ms per verified 1M-QP
+through the production driver (measured on v5e: 15.4 ms per verified 1M-QP
 Mises Newton step vs 29.8 s on the gather path, scripts/bench_tet.py)."""
 
 import numpy as np
