@@ -262,9 +262,13 @@ def main() -> None:
               file=sys.stderr)
     # the remote-TPU tunnel can return a cached result despite the varied
     # scales (sporadic; root cause in the tunnel, not XLA) — a window faster
-    # than one tunnel round trip (~80 ms) is physically impossible for a
-    # 48-step dispatch, so discard such windows rather than report fiction
-    plausible = [w for w in window_ms if w * K_STEPS >= 50.0]
+    # than one tunnel ROUND TRIP (~80 ms per dispatch; each window is one
+    # dispatch regardless of K_STEPS) is physically impossible, so discard
+    # such windows rather than report fiction. The guard only applies on the
+    # remote ("axon") tunnel backend: local CPU/TPU runs have no round-trip
+    # floor, so a legitimately fast small-K run must not be discarded.
+    tunneled = not cpu_proof and jax.default_backend() == "axon"
+    plausible = [w for w in window_ms if not tunneled or w * K_STEPS >= 50.0]
     if not plausible:
         print(
             f"FAIL: every timing window {[round(w, 3) for w in window_ms]} "

@@ -257,9 +257,12 @@ def rotate_history(model: IncrSmallStrainModel, history: History, R) -> History:
             continue
         dim = hd[name]
         if isinstance(dim, tuple):
-            assert dim == (g, g), (
-                f"rotatable matrix history '{name}' must be ({g},{g}), got {dim}"
-            )
+            if dim != (g, g):
+                msg = (
+                    f"rotatable matrix history '{name}' must be ({g},{g}), "
+                    f"got {dim}"
+                )
+                raise ValueError(msg)
             out[name] = jnp.einsum("qij,qjk,qlk->qil", R, v, R)
         elif dim == s:
             A = _mandel.mandel_to_matrix(v, c)

@@ -856,7 +856,21 @@ def build_structured_tet_geometry(
         verts = mesh.nodes[mesh.cells[k]]  # [n_vert, gdim] coordinates
         # box-corner bit pattern of each vertex (0/1 in the first box) ->
         # channel id a = sum_d bit_d << d (matching _corner_offsets)
-        bits = np.rint(verts * np.asarray(grid)).astype(int)
+        scaled = verts * np.asarray(grid)
+        bits = np.rint(scaled).astype(int)
+        if (
+            bits.min() < 0
+            or bits.max() > 1
+            or not np.allclose(scaled, bits, atol=1e-9)
+        ):
+            msg = (
+                "build_structured_tet_geometry: first-box vertex coordinates "
+                "scaled by the grid are not 0/1 corner bits — the mesh is not "
+                "a unit-domain box mesh (unit_cube_mesh/unit_square_mesh "
+                "orderings). Non-unit or translated domains are not supported "
+                "by the structured simplex engine; use the packed engine."
+            )
+            raise ValueError(msg)
         channels = [int(sum(int(b[d]) << d for d in range(gdim))) for b in bits]
         J = np.einsum("vi,qvj->qij", verts, geom_dN)
         detJ = np.abs(np.linalg.det(J))

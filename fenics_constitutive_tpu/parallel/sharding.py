@@ -57,11 +57,28 @@ def shard_problem(problem, mesh: Mesh, axis: str = "cells") -> None:
     cells_sh = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
 
+    warned_repl = [False]
+
     def last_axis_sh(a):
         """Shard an array on its LAST axis (packed/structured layouts);
         REPLICATE when the axis is not device-divisible (tiny meshes /
         odd grids) — replication is always correct, just not distributed."""
         if a.shape[-1] % mesh.size != 0:
+            # structured grids have trailing axis M = prod(grid+1), odd for
+            # even grids — falling back silently would degrade the whole
+            # state to replication with no signal; warn once per problem
+            if not warned_repl[0]:
+                warned_repl[0] = True
+                import warnings
+
+                warnings.warn(
+                    f"shard_problem: array of shape {a.shape} has a trailing "
+                    f"axis not divisible by the {mesh.size}-device mesh — "
+                    "replicating it (and any same-shaped arrays) instead of "
+                    "distributing. Pick a mesh size with trailing QP/node "
+                    "axes divisible by the device count to shard fully.",
+                    stacklevel=3,
+                )
             return _put(a, repl)
         return _put(a, NamedSharding(mesh, P(*([None] * (a.ndim - 1)), axis)))
 
