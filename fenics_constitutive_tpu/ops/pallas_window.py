@@ -1,0 +1,164 @@
+"""Fused Mosaic kernels for the windowed exchange (ops/windowed.py).
+
+The gather/scatter between node rows ``[K, M]`` and cell-local rows
+``[B, K, Rn]`` is expressed as a two-level one-hot select over each block's
+node window:
+
+  gather:  out[k, r] = u_win[k, hi[r], lo[r]]
+         = sum_lo ( sum_hi u3[k, hi, lo] * mask_hi[hi, r] ) * mask_lo[lo, r]
+
+with ``mask_hi`` a [W1, R] one-hot over window sub-tiles (MXU contraction)
+and ``mask_lo`` a [W2, R] one-hot over lanes (VPU multiply-sum). The scatter
+is the transpose contraction. Both masks are exact 0/1 values and each output
+element receives exactly one nonzero term per level, so with HIGHEST matmul
+precision the select is numerically exact (the operand passes reconstruct the
+f32 value bit-exactly; pinned against the XLA reference in
+tests/ops/test_windowed.py).
+
+All mask tensors live only in VMEM: HBM traffic is indices + node values +
+cell values. The window of block ``b`` starts at node ``b*T``, so the input
+window is expressed as P shifted block views of the same array (BlockSpec
+offsets must be block-aligned) and the scatter emits per-block partials that
+are combined by a static shift-and-add in XLA — no scatter instruction
+anywhere.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["windowed_gather", "windowed_scatter"]
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _row_tile(Rn: int) -> int:
+    for rt in (2048, 1024, 512, 256, 128):
+        if Rn % rt == 0:
+            return min(rt, Rn)
+    return Rn
+
+
+def _pad_u3(ex, u2: jnp.ndarray) -> jnp.ndarray:
+    """[K, M_pad] -> [K, MT_ext, W2] sub-tile view covering the last window."""
+    K = u2.shape[0]
+    ext = (ex.B + ex.P - 1) * ex.T - ex.M_pad
+    u_ext = jnp.concatenate([u2, jnp.zeros((K, ext), u2.dtype)], axis=1)
+    return u_ext.reshape(K, -1, ex.W2)
+
+
+def windowed_gather(ex, u2: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarray:
+    """u2 [K, M_pad] -> [B, K, Rn] cell-local rows (pads -> 0)."""
+    K = u2.shape[0]
+    Rn, W1, W2 = ex.Rn, ex.W1, ex.W2
+    TT = ex.T // W2  # sub-tiles per node tile
+    RT = _row_tile(Rn)
+    u3 = _pad_u3(ex, u2)
+
+    def kernel(loc_ref, *refs):
+        u_refs, out_ref = refs[:-1], refs[-1]
+        loc = loc_ref[:, :]  # [1, RT] int32
+        hi = loc // W2  # -1 -> -1 (no mask_hi match: pads read 0)
+        lo = loc % W2
+        u_win = jnp.concatenate([r[:, :, :] for r in u_refs], axis=1)
+        # [K, W1, W2]
+        mask_hi = (
+            jax.lax.broadcasted_iota(jnp.int32, (W1, RT), 0) == hi
+        ).astype(u_win.dtype)
+        s1 = jax.lax.dot_general(
+            u_win, mask_hi,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=u_win.dtype,
+            precision=_HI,
+        )  # [K, W2, RT]
+        mask_lo = (
+            jax.lax.broadcasted_iota(jnp.int32, (W2, RT), 0) == lo
+        ).astype(u_win.dtype)
+        out_ref[0] = (s1 * mask_lo[None]).sum(axis=1)
+
+    in_specs = [
+        pl.BlockSpec((1, RT), lambda b, j: (b, j), memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec(
+            (K, TT, W2),
+            (lambda p: lambda b, j: (0, b + p, 0))(p),
+            memory_space=pltpu.VMEM,
+        )
+        for p in range(ex.P)
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(ex.B, Rn // RT),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, K, RT), lambda b, j: (b, 0, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((ex.B, K, Rn), u2.dtype),
+        interpret=interpret,
+    )(ex.loc, *([u3] * ex.P))
+
+
+def windowed_scatter(ex, f: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarray:
+    """f [B, K, Rn] cell-local rows -> [K, M_pad] node rows (dups summed)."""
+    B, K, Rn = f.shape
+    W1, W2 = ex.W1, ex.W2
+    TT = ex.T // W2
+    RT = _row_tile(Rn)
+    NJ = Rn // RT
+
+    def kernel(loc_ref, f_ref, out_ref):
+        j = pl.program_id(1)
+        loc = loc_ref[:, :]  # [1, RT]
+        hi = loc // W2
+        lo = loc % W2
+        valid = (loc >= 0).astype(f_ref.dtype)  # kill padded rows exactly
+        mask_lo = (
+            jax.lax.broadcasted_iota(jnp.int32, (W2, RT), 0) == lo
+        ).astype(f_ref.dtype) * valid
+        mask_hi = (
+            jax.lax.broadcasted_iota(jnp.int32, (W1, RT), 0) == hi
+        ).astype(f_ref.dtype)
+        tmp = f_ref[0][:, None, :] * mask_lo[None]  # [K, W2, RT]
+        part = jax.lax.dot_general(
+            mask_hi, tmp,
+            dimension_numbers=(((1,), (2,)), ((), ())),
+            preferred_element_type=f_ref.dtype,
+            precision=_HI,
+        )  # [W1, K, W2]
+
+        @pl.when(j == 0)
+        def _():
+            out_ref[0] = part
+
+        @pl.when(j > 0)
+        def _():
+            out_ref[0] = out_ref[0] + part
+
+    parts = pl.pallas_call(
+        kernel,
+        grid=(B, NJ),
+        in_specs=[
+            pl.BlockSpec((1, RT), lambda b, j: (b, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, K, RT), lambda b, j: (b, 0, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, W1, K, W2), lambda b, j: (b, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, W1, K, W2), f.dtype),
+        interpret=interpret,
+    )(ex.loc, f)
+
+    # combine the per-block window partials: window b covers node tiles
+    # [b, b+P) — a static shift-and-add over P (deterministic, no scatter)
+    part5 = jnp.transpose(parts, (2, 0, 1, 3)).reshape(
+        K, B, ex.P, TT, W2
+    )  # [K, B, P, TT, W2]
+    acc = jnp.zeros((K, B + ex.P - 1, TT, W2), f.dtype)
+    for p in range(ex.P):
+        acc = acc.at[:, p : p + B].add(part5[:, :, p])
+    return acc.reshape(K, -1)[:, : ex.M_pad]

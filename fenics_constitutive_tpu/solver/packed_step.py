@@ -38,13 +38,27 @@ class PackedState:
     t: jnp.ndarray
 
 
-def build_packed_problem(space, laws, q_degree, dtype=None):
+#: general (non-box) meshes at least this many cells default to the windowed
+#: engine (ops/windowed.py) — below it the plan padding outweighs the gather
+#: tax and problems are interactive-scale anyway
+WINDOWED_MIN_CELLS = 4096
+
+
+def build_packed_problem(space, laws, q_degree, dtype=None, engine="auto"):
     """Tabulate packed geometry + initial state for (model, cells) laws.
 
     Returns (geos, models, state0).
+
+    ``engine``: "auto" picks the structured stencil engines on box meshes,
+    the windowed exchange engine (ops/windowed.py) on large general meshes,
+    and the gather engine otherwise; "windowed"/"gather" force the general-
+    mesh engine choice (box meshes keep their stencil fast paths).
     """
     from ..models.interfaces import IncrSmallStrainModel
 
+    if engine not in ("auto", "windowed", "gather"):
+        msg = f"engine must be 'auto', 'windowed' or 'gather', got {engine!r}"
+        raise ValueError(msg)
     dtype = dtype or jnp.result_type(float)
     if isinstance(laws, IncrSmallStrainModel):
         laws = [(laws, np.arange(space.mesh.num_cells, dtype=np.int32))]
@@ -64,6 +78,7 @@ def build_packed_problem(space, laws, q_degree, dtype=None):
         )
 
     _full_structured = [None]  # built once, shared by every law's view
+    _shared_perm = [None]  # whole-mesh RCM shared across windowed laws
 
     def make_geo(cells):
         whole_mesh = len(cells) == space.mesh.num_cells
@@ -105,6 +120,28 @@ def build_packed_problem(space, laws, q_degree, dtype=None):
             from ..ops.structured import build_lattice_geometry
 
             return build_lattice_geometry(space, q_degree, constraint, dtype)
+        use_windowed = engine == "windowed" or (
+            engine == "auto"
+            and space.mesh.num_cells >= WINDOWED_MIN_CELLS
+            and space.mesh.cell_type != "interval"
+        )
+        if use_windowed:
+            # general unstructured meshes: windowed exchange engine — the
+            # per-cell dof traffic becomes MXU one-hot contractions instead
+            # of ~29 us/QP scalarized gathers (ops/windowed.py)
+            from ..ops.windowed import (
+                build_windowed_geometry,
+                reverse_cuthill_mckee,
+            )
+
+            if _shared_perm[0] is None:
+                _shared_perm[0] = reverse_cuthill_mckee(
+                    space.cell_dof_nodes, space.n_dof_nodes
+                )
+            return build_windowed_geometry(
+                space, q_degree, constraint, cells, dtype,
+                perm=_shared_perm[0],
+            )
         return build_packed_geometry(space, q_degree, constraint, cells, dtype)
 
     geos = tuple(make_geo(np.asarray(cells)) for _, cells in laws)
@@ -194,6 +231,17 @@ def make_packed_step(
         raise ValueError(msg)
     ndofs = geos[0].ndofs
     constraint = geos[0].constraint
+
+    def _with_precision(fn):
+        if matmul_precision is None:
+            return fn
+
+        def wrapped(*args, **kwargs):
+            with jax.default_matmul_precision(matmul_precision):
+                return fn(*args, **kwargs)
+
+        return wrapped
+
     cg_opts = dict(
         flexible=cg_flexible, reduce_dtype=cg_reduce_dtype,
         fixed_iters=cg_fixed_iters,
@@ -211,6 +259,126 @@ def make_packed_step(
             tangents.append(tg)
             hists.append(h_new)
         return r, tuple(stresses), tuple(tangents), tuple(hists)
+
+    # -- windowed step (general unstructured meshes) ---------------------------
+    # The whole Newton loop runs on the INTERNAL (RCM-permuted, component-
+    # major, tile-padded) dof vectors of ops/windowed.WindowedGeometry: the
+    # node<->internal permutation happens once at the step boundary, and the
+    # CG loop touches only windowed-exchange ops (MXU one-hot contractions).
+    windowed = all(hasattr(g, "to_internal") for g in geos)
+    if windowed:
+        geo0 = geos[0]
+        assert len({(g.ex.M_pad, g.vs) for g in geos}) == 1, (
+            "multi-law windowed geometries must share the mesh RCM plan "
+            "(build them through build_packed_problem)"
+        )
+
+        def eval_assemble_win(models, u, u_prev, state, f_ext_int, dt):
+            du = u - u_prev
+            r = -f_ext_int
+            ss, tgs, hh = [], [], []
+            for model, geo, sig0, h0 in zip(
+                models, geos, state.stress, state.histories
+            ):
+                eps = geo.strain(du)
+                s_new, tg, h_new = model.evaluate_packed(
+                    state.t, dt, eps, sig0, h0
+                )
+                r = r + geo.residual(s_new)
+                ss.append(s_new)
+                tgs.append(tg)
+                hh.append(h_new)
+            return r, tuple(ss), tuple(tgs), tuple(hh)
+
+        def solve_win(tgs, r, free):
+            r = jnp.where(free, r, 0.0)
+
+            def matvec(v):
+                vm = jnp.where(free, v, 0.0)
+                out = None
+                for g, tg in zip(geos, tgs):
+                    mv = g.matvec(vm, tg)
+                    out = mv if out is None else out + mv
+                return jnp.where(free, out, v)
+
+            if preconditioner is not None:
+                # preconditioners are node-major callables (e.g. AMG):
+                # wrap with the boundary transforms
+                def precond(rr):
+                    rm = geo0.from_internal(jnp.where(free, rr, 0.0))
+                    if precond_dtype is not None:
+                        z = preconditioner(rm.astype(precond_dtype)).astype(
+                            rr.dtype
+                        )
+                    else:
+                        z = preconditioner(rm)
+                    return jnp.where(free, geo0.to_internal(z), rr)
+
+                return linear.cg_solve(
+                    matvec, r, rtol=cg_rtol, maxiter=cg_maxiter,
+                    precond=precond, **cg_opts,
+                )
+            diag = None
+            for g, tg in zip(geos, tgs):
+                d = g.jacobi_diag(tg)
+                diag = d if diag is None else diag + d
+            diag = jnp.where(free, diag, 1.0)
+            return linear.cg_solve(
+                matvec, r, diag, rtol=cg_rtol, maxiter=cg_maxiter, **cg_opts,
+            )
+
+        def step_win(models, state: PackedState, bc_dofs, bc_vals, f_ext, dt):
+            bc_int = geo0.bc_internal(bc_dofs)
+            free = geo0.free_internal(bc_dofs)
+            u_prev = geo0.to_internal(state.u)
+            f_ext_int = geo0.to_internal(f_ext)
+            u0 = u_prev.at[bc_int].set(bc_vals)
+
+            def fnorm(r):
+                return jnp.linalg.norm(jnp.where(free, r, 0.0))
+
+            r0, s0, tg0, h0 = eval_assemble_win(
+                models, u0, u_prev, state, f_ext_int, dt
+            )
+            r0_norm = fnorm(r0)
+
+            def cond(carry):
+                u, it, r, *_ = carry
+                return (
+                    fnorm(r) > jnp.maximum(newton_atol, newton_rtol * r0_norm)
+                ) & (it < max_newton)
+
+            def body(carry):
+                u, it, r, s, tg, h, _ = carry
+                delta, cg_k = solve_win(tg, r, free)
+                u_new = u - delta
+                r2, s2, tg2, h2 = eval_assemble_win(
+                    models, u_new, u_prev, state, f_ext_int, dt
+                )
+                return (u_new, it + 1, r2, s2, tg2, h2, cg_k)
+
+            carry = (
+                u0, jnp.asarray(0, jnp.int32), r0, s0, tg0, h0,
+                jnp.asarray(0, jnp.int32),
+            )
+            u, niter, r_f, s_f, _, h_f, cg_k = jax.lax.while_loop(
+                cond, body, carry
+            )
+            new_state = PackedState(
+                u=geo0.from_internal(u),
+                stress=s_f,
+                histories=h_f,
+                t=state.t + dt,
+            )
+            stats = {
+                "newton_iters": niter,
+                "r_norm": fnorm(r_f),
+                "r0_norm": r0_norm,
+                "cg_iters_last": cg_k,
+            }
+            return new_state, stats
+
+        return _with_precision(step_win)
 
     # single-law structured grids run the Krylov loop in GRID-MAJOR dof
     # ordering: all conv ins/outs become free reshapes, the node-major
@@ -344,16 +512,6 @@ def make_packed_step(
             "cg_iters_last": cg_k,
         }
         return new_state, stats
-
-    def _with_precision(fn):
-        if matmul_precision is None:
-            return fn
-
-        def wrapped(*args, **kwargs):
-            with jax.default_matmul_precision(matmul_precision):
-                return fn(*args, **kwargs)
-
-        return wrapped
 
     if not grid_major:
         return _with_precision(step_generic)

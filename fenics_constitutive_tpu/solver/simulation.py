@@ -64,6 +64,10 @@ class PackedSimulation:
             at ~1.6e-4 relative; "highest" reaches 3.8e-7 at ~1.9x step
             cost (measured, scripts/ab_p2_precision.py + make_packed_step
             docstring).
+        engine: "auto" | "windowed" | "gather" — general-mesh engine
+            choice (box meshes keep their stencil fast paths); "auto" uses
+            the windowed exchange engine (ops/windowed.py) above
+            packed_step.WINDOWED_MIN_CELLS cells.
         newton/cg options are forwarded to make_packed_step.
     """
 
@@ -92,6 +96,7 @@ class PackedSimulation:
         eval_impl: str = "conv",
         f_ext=None,
         matmul_precision: str | None = None,
+        engine: str = "auto",
     ):
         self.space = space
         self.bcs = bcs
@@ -104,7 +109,9 @@ class PackedSimulation:
             )
         else:
             self._law_cells = tuple(np.asarray(c, np.int32) for _, c in laws)
-        geos, models, state = build_packed_problem(space, laws, q_degree, dtype)
+        geos, models, state = build_packed_problem(
+            space, laws, q_degree, dtype, engine=engine
+        )
         self._geos, self._models = geos, models
         self.state: PackedState = state
         self.f_ext = (

@@ -1,0 +1,183 @@
+"""Benchmark the windowed engine on an IMPORTED (general unstructured) mesh.
+
+The round-3 state of play: a general (Gmsh-imported) tet mesh rode the
+scalar-gather packed engine at ~29 us/QP -> ~29.8 s per 1M-QP Mises Newton
+step (docs/performance.md). This script measures the windowed exchange engine
+(ops/windowed.py) on the real chip:
+
+  1. primitive costs: windowed gather / scatter at bench scale;
+  2. a full converged Newton step (Jacobi-CG, adaptive or fixed);
+  3. optionally the gather engine on the same mesh for the speedup ratio
+     (GATHER=1; ~30 s per step, be patient).
+
+The mesh is a unit cube Kuhn-tet mesh round-tripped through a node shuffle +
+Gmsh write/read, so it arrives exactly like an external mesh: no structured
+metadata, no banded numbering (read_gmsh path, fem/io.py).
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_unstructured.py [n]
+Env: BENCH_TILE (default 256), FIXED (cg_fixed_iters), GATHER=1, STEPS.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fenics_constitutive_tpu.fem import FunctionSpace, unit_cube_mesh
+from fenics_constitutive_tpu.fem.mesh import Mesh
+from fenics_constitutive_tpu.models import VonMises3D
+from fenics_constitutive_tpu.solver import PackedSimulation
+
+MAT = {
+    "p_ka": 175000.0,
+    "p_mu": 80769.0,
+    "p_y0": 1200.0,
+    "p_y00": 2500.0,
+    "p_w": 200.0,
+}
+
+
+def imported_mesh(n: int) -> Mesh:
+    mesh = unit_cube_mesh(n, n, n, "tetra")
+    rng = np.random.default_rng(0)
+    pi = rng.permutation(mesh.num_nodes)
+    nodes = np.empty_like(mesh.nodes)
+    nodes[pi] = mesh.nodes
+    cells = pi[mesh.cells].astype(np.int32)
+    return Mesh(nodes, cells, "tetra")
+
+
+def timeit(name, fn, *args, reps=4):
+    out = jax.block_until_ready(fn(*args))  # compile
+    best = float("inf")
+    for i in range(reps):
+        a0 = (
+            jax.tree.map(lambda x: x * (1.0 + 1e-7 * (i + 1)), args[0])
+            if args
+            else None
+        )
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(a0, *args[1:]) if args else fn())
+        w = (time.perf_counter() - t0) * 1000.0
+        if w >= 5.0:  # below one dispatch: tunnel memoized, skip
+            best = min(best, w)
+    print(f"  {name:34s} {best:9.2f} ms", flush=True)
+    return out, best
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 35
+    tile = int(os.environ.get("BENCH_TILE", "256"))
+    fixed = os.environ.get("FIXED")
+    mesh = imported_mesh(n)
+    V = FunctionSpace(mesh, 1, 3)
+
+    from fenics_constitutive_tpu.fem import DirichletBC
+
+    def close(axis, v):
+        return lambda x: np.isclose(x[:, axis], v)
+
+    bc_move = DirichletBC(
+        V.locate_dofs_geometrical(close(0, 1.0), component=0), 0.0
+    )
+    bcs = [
+        DirichletBC(V.locate_dofs_geometrical(close(0, 0.0), component=0), 0.0),
+        bc_move,
+        DirichletBC(V.locate_dofs_geometrical(close(1, 0.0), component=1), 0.0),
+        DirichletBC(V.locate_dofs_geometrical(close(2, 0.0), component=2), 0.0),
+    ]
+
+    t0 = time.time()
+    import fenics_constitutive_tpu.ops.windowed as winmod
+
+    sim = PackedSimulation(
+        VonMises3D(MAT), V, bcs, 2, engine="windowed",
+        dtype=jnp.float32,
+        newton_rtol=1e-6, newton_atol=1e-3,
+        cg_rtol=1e-5, cg_maxiter=2000,
+        cg_fixed_iters=int(fixed) if fixed else None,
+    )
+    geo = sim._geos[0]
+    ex = geo.ex
+    print(
+        f"{mesh.num_cells} tets, {V.ndofs} dofs, {geo.N} QPs (pad x"
+        f"{ex.pad_ratio:.3f}), build {time.time() - t0:.1f}s | "
+        f"T={ex.T} B={ex.B} C_B={ex.C_B} P={ex.P} W={ex.W} W1={ex.W1}",
+        flush=True,
+    )
+
+    # --- primitives ---------------------------------------------------------
+    rng = np.random.default_rng(1)
+    u2 = jnp.asarray(rng.standard_normal((3, ex.M_pad)).astype(np.float32))
+    rows = jnp.asarray(
+        rng.standard_normal((ex.B, 3, ex.Rn)).astype(np.float32)
+    )
+    timeit("windowed gather [3, M]->rows", jax.jit(ex.gather), u2)
+    timeit("windowed scatter rows->[3, M]", jax.jit(ex.scatter), rows)
+
+    ui = jnp.asarray(rng.standard_normal(geo.ndofs_int).astype(np.float32))
+    timeit("strain (gather+einsums)", jax.jit(geo.strain), ui)
+
+    from fenics_constitutive_tpu.ops.packed import IsotropicTangent
+
+    tg = IsotropicTangent(
+        kappa=jnp.float32(MAT["p_ka"]),
+        beta=jnp.full(geo.N, 2 * MAT["p_mu"], jnp.float32),
+        gamma=jnp.zeros(geo.N, jnp.float32),
+        n=jnp.zeros((6, geo.N), jnp.float32),
+    )
+    timeit("matvec (full CG iteration core)", jax.jit(lambda v: geo.matvec(v, tg)), ui)
+
+    # --- full Newton steps on a real plastic ramp -----------------------------
+    steps = int(os.environ.get("STEPS", "3"))
+    times = []
+    for k in range(1, steps + 1):
+        bc_move.value = 0.004 * k
+        t0 = time.perf_counter()
+        niter, conv = sim.solve()
+        dt_ms = (time.perf_counter() - t0) * 1000.0
+        st = sim.last_stats
+        times.append(dt_ms)
+        print(
+            f"  step {k}: {dt_ms:9.1f} ms  newton={int(st['newton_iters'])} "
+            f"cg_last={int(st['cg_iters_last'])} "
+            f"r/r0={float(st['r_norm']) / max(float(st['r0_norm']), 1e-30):.2e} "
+            f"conv={conv}",
+            flush=True,
+        )
+    # first step includes compile; report the best subsequent
+    if len(times) > 1:
+        best = min(times[1:])
+        per_newton = best / max(int(sim.last_stats["newton_iters"]), 1)
+        print(
+            f"best step {best:.1f} ms ({per_newton:.1f} ms/Newton-iter) at "
+            f"{geo.N} QPs",
+            flush=True,
+        )
+
+    if os.environ.get("GATHER") == "1":
+        sim_g = PackedSimulation(
+            VonMises3D(MAT), V, bcs, 2, engine="gather",
+            dtype=jnp.float32,
+            newton_rtol=1e-6, newton_atol=1e-3, cg_rtol=1e-5, cg_maxiter=2000,
+        )
+        bc_move.value = 0.004
+        t0 = time.perf_counter()
+        sim_g.solve()
+        print(f"  gather engine step 1: {(time.perf_counter()-t0)*1000:.0f} ms")
+        t0 = time.perf_counter()
+        bc_move.value = 0.008
+        sim_g.solve()
+        print(f"  gather engine step 2: {(time.perf_counter()-t0)*1000:.0f} ms")
+
+
+if __name__ == "__main__":
+    main()
