@@ -32,6 +32,12 @@ class Mesh:
     #: cell counts per axis for box-structured tensor grids (enables the
     #: gather-free stencil fast path in ops/structured.py); None otherwise
     structured_shape: tuple | None = None
+    #: material/region cell sets: tag -> cell index array. Populated by
+    #: fem.io.read_gmsh from $PhysicalNames/$Elements (keys are the integer
+    #: physical ids plus their names when named) — the analog of dolfinx
+    #: cell tags the reference uses to define per-region laws
+    #: (reference solver/_lawonsubmesh.py consumes such cell arrays).
+    cell_sets: dict | None = None
 
     @property
     def gdim(self) -> int:

@@ -42,3 +42,142 @@ def test_solve_on_imported_mesh(tmp_path):
     )
     n, converged = problem.solve()
     assert converged
+
+
+def test_cell_sets_roundtrip(tmp_path):
+    """int + named physical groups survive write_gmsh/read_gmsh."""
+    from dataclasses import replace
+
+    mesh = unit_cube_mesh(2, 2, 2, "tetra")
+    mids = mesh.cell_midpoints()
+    left = np.nonzero(mids[:, 0] < 0.5)[0].astype(np.int32)
+    right = np.nonzero(mids[:, 0] >= 0.5)[0].astype(np.int32)
+    mesh = replace(
+        mesh, cell_sets={1: left, 2: right, "soft": left, "stiff": right}
+    )
+    path = tmp_path / "tagged.msh"
+    write_gmsh(path, mesh)
+    mesh2 = read_gmsh(path)
+    assert set(mesh2.cell_sets) == {1, 2, "soft", "stiff"}
+    np.testing.assert_array_equal(mesh2.cell_sets[1], left)
+    np.testing.assert_array_equal(mesh2.cell_sets["stiff"], right)
+
+
+def test_read_gmsh_v41(tmp_path):
+    """ASCII v4.1 (modern Gmsh default): entity-block nodes/elements +
+    physical groups via $Entities."""
+    msh = """$MeshFormat
+4.1 0 8
+$EndMeshFormat
+$PhysicalNames
+2
+2 10 "lower"
+2 20 "upper"
+$EndPhysicalNames
+$Entities
+0 0 2 0
+1 0 0 0 1 1 0 1 10 0
+2 0 0 0 1 1 0 1 20 0
+$EndEntities
+$Nodes
+2 4 1 4
+2 1 0 2
+1
+2
+0 0 0
+1 0 0
+2 2 0 2
+3
+4
+1 1 0
+0 1 0
+$EndNodes
+$Elements
+2 2 1 2
+2 1 2 1
+1 1 2 3
+2 2 2 1
+2 1 3 4
+$EndElements
+"""
+    path = tmp_path / "v41.msh"
+    path.write_text(msh)
+    mesh = read_gmsh(path)
+    assert mesh.cell_type == "triangle"
+    assert mesh.num_nodes == 4 and mesh.num_cells == 2
+    np.testing.assert_allclose(
+        mesh.nodes, [[0, 0], [1, 0], [1, 1], [0, 1]], atol=0
+    )
+    np.testing.assert_array_equal(mesh.cells, [[0, 1, 2], [0, 2, 3]])
+    assert set(mesh.cell_sets) == {10, 20, "lower", "upper"}
+    np.testing.assert_array_equal(mesh.cell_sets["lower"], [0])
+    np.testing.assert_array_equal(mesh.cell_sets[20], [1])
+
+
+def test_two_material_bar_from_msh(tmp_path):
+    """The reference's two-material bar (test_elasticity.py:90-154) built
+    ENTIRELY from a .msh file: physical groups -> laws -> solve."""
+    msh = """$MeshFormat
+2.2 0 8
+$EndMeshFormat
+$PhysicalNames
+2
+1 1 "soft"
+1 2 "stiff"
+$EndPhysicalNames
+$Nodes
+3
+1 0 0 0
+2 0.5 0 0
+3 1 0 0
+$EndNodes
+$Elements
+2
+1 1 2 1 0 1 2
+2 1 2 2 0 2 3
+$EndElements
+"""
+    path = tmp_path / "bar.msh"
+    path.write_text(msh)
+    mesh = read_gmsh(path)
+    assert mesh.cell_type == "interval"
+    factor = 3.0
+    E = 42.0
+    laws = [
+        (
+            LinearElasticityModel(
+                {"E": E, "nu": 0.3}, Constraint.UNIAXIAL_STRESS
+            ),
+            mesh.cell_sets["soft"],
+        ),
+        (
+            LinearElasticityModel(
+                {"E": factor * E, "nu": 0.3}, Constraint.UNIAXIAL_STRESS
+            ),
+            mesh.cell_sets["stiff"],
+        ),
+    ]
+    V = FunctionSpace(mesh, 1, 1)
+    problem = IncrSmallStrainProblem(
+        laws,
+        V,
+        [
+            DirichletBC(
+                V.locate_dofs_geometrical(lambda x: np.isclose(x[:, 0], 0.0)),
+                0.0,
+            ),
+            DirichletBC(
+                V.locate_dofs_geometrical(lambda x: np.isclose(x[:, 0], 1.0)),
+                0.01,
+            ),
+        ],
+        1,
+    )
+    n, converged = problem.solve()
+    assert converged
+    g = [np.asarray(x).ravel() for x in problem._del_grad_u]
+    problem.update()
+    s = np.asarray(problem.stress_0).ravel()
+    assert abs(s[0] - s[1]) < 1e-10 / abs(s[0])  # homogeneous stress
+    assert g[0][0] != 0.0
+    assert abs(g[0][0] - factor * g[1][0]) < 1e-10 / abs(g[0][0])
