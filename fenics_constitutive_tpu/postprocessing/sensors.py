@@ -19,36 +19,66 @@ from ..fem.spaces import FunctionSpace, _geometry_basis_at
 __all__ = ["DisplacementSensor", "QPSensor"]
 
 
-def _locate(mesh, points):
-    """(cell index, reference coords) per point; affine cells only."""
+def _try_cell(mesh, c, p, ref_mid, tol=1e-9):
+    """Newton inverse map of point p into cell c; returns xi or None.
+
+    Exact in one step for affine cells (interval/triangle/tetra and
+    parallelepiped quads/hexes); iterates for distorted bilinear/trilinear
+    cells, and VERIFIES the forward map reproduces p — so a sliver cell
+    whose midpoint happens to be near p can never be silently mislocated.
+    """
     from ..fem.kinematics import _geometry_grad_at
 
+    verts = mesh.nodes[mesh.cells[c]]
+    xi = ref_mid.copy()
+    for _ in range(25):
+        x = _geometry_basis_at(mesh.cell_type, xi[None])[0] @ verts
+        r = p - x
+        if np.linalg.norm(r) <= 1e-12 * (1.0 + np.linalg.norm(p)):
+            break
+        J = verts.T @ _geometry_grad_at(mesh.cell_type, xi[None])[0]
+        try:
+            xi = xi + np.linalg.solve(J, r)
+        except np.linalg.LinAlgError:
+            return None
+        if np.abs(xi).max() > 10.0:  # diverging: p is far from this cell
+            return None
+    else:
+        return None
+    inside = np.all(xi >= -tol)
+    if mesh.cell_type in ("triangle", "tetra"):
+        inside &= xi.sum() <= 1 + tol
+    else:
+        inside &= np.all(xi <= 1 + tol)
+    return xi if inside else None
+
+
+def _locate(mesh, points):
+    """(cell index, reference coords) per point.
+
+    Candidates are ordered by cell-midpoint distance; the nearest 30 are the
+    fast path, with a FULL all-cells fallback before declaring a miss (a
+    far-from-midpoint sliver cell on stretched/imported meshes would
+    otherwise be silently unreachable). Non-affine (distorted) quads/hexes
+    are handled by the Newton inverse map in ``_try_cell``.
+    """
     mids = mesh.cell_midpoints()
     cells_out, xi_out = [], []
-    ref_mid = {
-        "interval": [0.5],
-        "triangle": [1 / 3, 1 / 3],
-        "quad": [0.5, 0.5],
-        "tetra": [0.25, 0.25, 0.25],
-        "hex": [0.5, 0.5, 0.5],
-    }[mesh.cell_type]
-    ref_mid = np.asarray(ref_mid)
-    dN = _geometry_grad_at(mesh.cell_type, ref_mid[None])[0]  # [nv, rdim]
+    ref_mid = np.asarray(
+        {
+            "interval": [0.5],
+            "triangle": [1 / 3, 1 / 3],
+            "quad": [0.5, 0.5],
+            "tetra": [0.25, 0.25, 0.25],
+            "hex": [0.5, 0.5, 0.5],
+        }[mesh.cell_type]
+    )
     for p in np.atleast_2d(points):
-        # candidate cells by midpoint distance; verify via inverse map
-        order = np.argsort(np.linalg.norm(mids - p, axis=1))[:30]
+        order = np.argsort(np.linalg.norm(mids - p, axis=1))
         found = False
-        for c in order:
-            verts = mesh.nodes[mesh.cells[c]]
-            J = verts.T @ dN  # [g, rdim] (constant for affine cells)
-            x0 = _geometry_basis_at(mesh.cell_type, ref_mid[None])[0] @ verts
-            xi = ref_mid + np.linalg.solve(J, p - x0)
-            inside = np.all(xi >= -1e-9)
-            if mesh.cell_type in ("triangle", "tetra"):
-                inside &= xi.sum() <= 1 + 1e-9
-            else:
-                inside &= np.all(xi <= 1 + 1e-9)
-            if inside:
+        for c in list(order[:30]) + list(order[30:]):
+            xi = _try_cell(mesh, c, p, ref_mid)
+            if xi is not None:
                 cells_out.append(c)
                 xi_out.append(xi)
                 found = True

@@ -4,6 +4,8 @@ round-trip, and timers."""
 import numpy as np
 import pytest
 
+import jax.numpy as jnp
+
 from fenics_constitutive_tpu.fem import DirichletBC, FunctionSpace, unit_cube_mesh
 from fenics_constitutive_tpu.models import VonMises3D
 from fenics_constitutive_tpu.postprocessing import DisplacementSensor, QPSensor
@@ -162,3 +164,53 @@ def test_checkpoint_orbax_sharded_roundtrip(tmp_path):
 
 def restored_is_fully_replicated(leaf):
     return leaf.sharding.is_fully_replicated
+
+
+def test_sensor_graded_mesh_beyond_candidate_window():
+    """A huge cell whose midpoint is farther than dozens of tiny-cell
+    midpoints: the all-cells fallback must still locate the point (the old
+    30-nearest-midpoints heuristic missed it)."""
+    from fenics_constitutive_tpu.fem.mesh import Mesh
+    from fenics_constitutive_tpu.postprocessing.sensors import DisplacementSensor
+
+    xs = np.concatenate([np.linspace(0.0, 0.5, 41), [10.0]])
+    nodes = xs[:, None]
+    cells = np.stack(
+        [np.arange(len(xs) - 1), np.arange(1, len(xs))], axis=1
+    ).astype(np.int32)
+    mesh = Mesh(nodes, cells, "interval")
+    V = FunctionSpace(mesh, 1, 1)
+    # linear field u = 3x + 1; sample inside the huge cell near its left end
+    u = 3.0 * V.dof_coords[:, 0] + 1.0
+    sensor = DisplacementSensor(V, [[0.55]])
+    val = np.asarray(sensor(jnp.asarray(u)))
+    np.testing.assert_allclose(val, [[3.0 * 0.55 + 1.0]], rtol=1e-12)
+
+
+def test_sensor_distorted_quad():
+    """Non-affine (trapezoidal) quads: the Newton inverse map locates points
+    the affine one-shot solve mislocates; Q1 isoparametric interpolation of a
+    linear field is exact, so the sampled value pins the located xi."""
+    from dataclasses import replace
+
+    from fenics_constitutive_tpu.fem import unit_square_mesh
+    from fenics_constitutive_tpu.postprocessing.sensors import DisplacementSensor
+
+    mesh = unit_square_mesh(4, 4, "quad")
+    nodes = mesh.nodes.copy()
+    # shear the interior: x' = x + 0.2 * x * (1 - x) * y makes every cell a
+    # distinct trapezoid (boundary stays put)
+    nodes[:, 0] = nodes[:, 0] + 0.2 * nodes[:, 0] * (1 - nodes[:, 0]) * nodes[:, 1]
+    mesh = replace(mesh, nodes=nodes, structured_shape=None)
+    V = FunctionSpace(mesh, 1, 2)
+    u = np.stack(
+        [2.0 * V.dof_coords[:, 0] - V.dof_coords[:, 1], V.dof_coords[:, 1]],
+        axis=1,
+    ).reshape(-1)
+    pts = [[0.52, 0.37], [0.13, 0.81], [0.97, 0.55]]
+    sensor = DisplacementSensor(V, pts)
+    vals = np.asarray(sensor(jnp.asarray(u)))
+    want = np.asarray(
+        [[2.0 * x - y, y] for x, y in pts]
+    )
+    np.testing.assert_allclose(vals, want, rtol=1e-9, atol=1e-12)
