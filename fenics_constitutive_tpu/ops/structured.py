@@ -53,6 +53,7 @@ __all__ = [
     "restrict_structured_geometry",
     "StructuredTetGeometry",
     "build_structured_tet_geometry",
+    "restrict_structured_tet_geometry",
     "LatticeGeometry",
     "build_lattice_geometry",
 ]
@@ -166,20 +167,27 @@ class StructuredGeometry:
 
     # -- grid-major hot-path ops ----------------------------------------------
 
+    def _qp_mask(self, dtype) -> jnp.ndarray:
+        """Valid-QP mask broadcastable to [s, qp_layout, M]. The base engine
+        masks whole cube origins ([M]); the simplex engine overrides with a
+        per-class mask ([qp_layout, M]) for law-on-subset views."""
+        return self.mask.astype(dtype)
+
     def strain_gm(self, u_gm: jnp.ndarray) -> jnp.ndarray:
         """Mandel strain of a grid-major dof vector: [s, Q, M] (masked)."""
         U = self._corner_dofs(u_gm.reshape(self.vs, self.M))
         e = jnp.matmul(
             self.KEPS_c.astype(U.dtype), U, preferred_element_type=U.dtype
         )
-        e = e * self.mask.astype(U.dtype)
-        return e.reshape(self.sdim, self.qp_layout, self.M)
+        e = e.reshape(self.sdim, self.qp_layout, self.M) * self._qp_mask(U.dtype)
+        return e
 
     def residual_gm(self, sigma: jnp.ndarray) -> jnp.ndarray:
         """sigma [s, Q, M] -> grid-major assembled force [vs*M]."""
-        sig = sigma.reshape(self.sdim * self.qp_layout, self.M) * self.mask.astype(
-            sigma.dtype
-        )
+        sig = (
+            sigma.reshape(self.sdim, self.qp_layout, self.M)
+            * self._qp_mask(sigma.dtype)
+        ).reshape(self.sdim * self.qp_layout, self.M)
         F = jnp.matmul(
             self.KDIV_c.astype(sig.dtype), sig, preferred_element_type=sig.dtype
         )
@@ -643,6 +651,37 @@ class LatticeGeometry:
         return out.reshape(self.gdim, self.vs, self.N)
 
 
+def restrict_structured_tet_geometry(
+    geo: StructuredTetGeometry, cells
+) -> StructuredTetGeometry:
+    """Simplex-subset view of a structured tet/triangle geometry.
+
+    Multi-material on Kuhn box meshes: tet t = cube * K + class (mesh
+    ordering), so a law's cell set becomes a per-class ownership mask
+    [K, M] over cube origins, threaded through every engine op by
+    ``_qp_mask`` — the simplex analog of ``restrict_structured_geometry``
+    (VERDICT r3 item 2; mirrors reference _lawonsubmesh.py:21-45). Each law
+    stays on the dense conv/stencil path; only its own (class, cube) QPs
+    carry strain/stress.
+    """
+    import dataclasses
+
+    cells = np.asarray(cells, np.int64)
+    K = geo.n_classes
+    origins = np.asarray(geo.cell_index)  # [Ncube] origin per cube
+    cube = cells // K
+    kls = cells % K
+    cm = np.zeros((K, geo.M), np.float64)
+    cm[kls, origins[cube]] = 1.0
+    dtype = geo.mask.dtype
+    return dataclasses.replace(
+        geo,
+        class_mask=jnp.asarray(cm, dtype),
+        tet_index=jnp.asarray(cells.astype(np.int32)),
+        n_cells=int(len(cells)),
+    )
+
+
 def build_lattice_geometry(
     space, q_degree: int, constraint: Constraint, dtype=None
 ) -> LatticeGeometry:
@@ -711,7 +750,10 @@ def build_lattice_geometry(
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["KEPS_c", "KDIV_c", "mask", "cell_index", "KE_I", "KE_V"],
+    data_fields=[
+        "KEPS_c", "KDIV_c", "mask", "cell_index", "KE_I", "KE_V",
+        "class_mask", "tet_index",
+    ],
     meta_fields=[
         "grid", "vs", "ndofs", "constraint", "n_nodes", "n_qp", "n_cells",
         "M", "offsets", "dN_host", "w_host", "n_classes", "class_dN_host",
@@ -746,10 +788,24 @@ class StructuredTetGeometry(StructuredGeometry):
     class_dN_host: tuple = ()
     #: per class: cube-corner channel (dx + 2 dy + 4 dz) of each local vertex
     class_channels: tuple = ()
+    #: law-on-subset view (restrict_structured_tet_geometry): 1.0 where this
+    #: law owns simplex (class, cube-origin); None = whole mesh
+    class_mask: jnp.ndarray | None = None
+    #: law-on-subset view: owned tet ids in mesh order (observation)
+    tet_index: jnp.ndarray | None = None
 
     @property
     def qp_layout(self) -> int:
         return self.n_classes * self.n_qp
+
+    def _qp_mask(self, dtype) -> jnp.ndarray:
+        if self.class_mask is None:
+            return self.mask.astype(dtype)
+        # [K, M] ownership -> [K*Q, M] rows of the class-stacked QP layout
+        cm = self.class_mask.astype(dtype)
+        return jnp.broadcast_to(
+            cm[:, None, :], (self.n_classes, self.n_qp, self.M)
+        ).reshape(self.qp_layout, self.M)
 
     # -- observation ---------------------------------------------------------
 
@@ -760,11 +816,20 @@ class StructuredTetGeometry(StructuredGeometry):
         f = field.reshape(k, self.n_classes, self.n_qp, self.M)
         blk = f[:, :, :, self.cell_index]  # [k, K, Q, Ncube]
         # -> [k, Q, Ncube, K] -> [k, Q, Ncube*K] with tet = cube*K + class
-        return jnp.transpose(blk, (0, 2, 3, 1)).reshape(k, self.n_qp, -1)
+        dense = jnp.transpose(blk, (0, 2, 3, 1)).reshape(k, self.n_qp, -1)
+        if self.tet_index is not None:  # law-on-subset view
+            dense = dense[:, :, self.tet_index]
+        return dense
 
     def insert_cells(self, dense: jnp.ndarray, dtype=None) -> jnp.ndarray:
         """[k, Q, C_tet] -> [k, 6Q, M] cube-origin layout."""
         k, Q, C = dense.shape
+        if self.tet_index is not None:  # law-on-subset view: expand first
+            full = jnp.zeros(
+                (k, Q, self.cell_index.shape[0] * self.n_classes), dense.dtype
+            )
+            dense = full.at[:, :, self.tet_index].set(dense)
+            C = dense.shape[2]
         ncube = C // self.n_classes
         d = dense.reshape(k, Q, ncube, self.n_classes)
         d = jnp.transpose(d, (0, 3, 1, 2))  # [k, K, Q, Ncube]
@@ -776,13 +841,16 @@ class StructuredTetGeometry(StructuredGeometry):
         """Full displacement gradient [g, vs, 6Q*M] (observation path)."""
         dtype = u.dtype
         U = self._corner_dofs(self.to_grid_major(u).reshape(self.vs, self.M))
-        U = U.reshape(self.n_nodes, self.vs, self.M) * self.mask.astype(dtype)
+        U = U.reshape(self.n_nodes, self.vs, self.M)
         g = self.gdim
         parts = []
         for kls in range(self.n_classes):
+            m = (
+                self.mask if self.class_mask is None else self.class_mask[kls]
+            ).astype(dtype)
             dN = jnp.asarray(np.asarray(self.class_dN_host[kls]), dtype)
             ch = self.class_channels[kls]
-            Uk = jnp.stack([U[c] for c in ch])  # [4, vs, M]
+            Uk = jnp.stack([U[c] for c in ch]) * m  # [4, vs, M]
             parts.append(jnp.einsum("aiq,ajm->ijqm", dN, Uk))  # [g, vs, Q, M]
         out = jnp.stack(parts, axis=2)  # [g, vs, K, Q, M]
         return out.reshape(g, self.vs, self.qp_layout * self.M)
@@ -793,7 +861,7 @@ class StructuredTetGeometry(StructuredGeometry):
         dtype = self.KEPS_c.dtype
         B = self.KEPS_c.reshape(self.sdim, self.qp_layout, self.n_nodes * self.vs)
         w = jnp.asarray(np.asarray(self.w_host), dtype)  # [6Q] (detJ folded)
-        m = self.mask.astype(dtype)
+        qpm = self._qp_mask(dtype)  # [M] or [qp_layout, M]
         rows = []
         for a in range(self.n_nodes):
             # B_a [s, vs, 6Q, 1] broadcasts against tangent fields [6Q, M]
@@ -801,8 +869,8 @@ class StructuredTetGeometry(StructuredGeometry):
                 B[:, :, a * self.vs : (a + 1) * self.vs], (0, 2, 1)
             )[..., None]
             q = tangent.quad_diag(B_a) * w[:, None]
-            q = jnp.broadcast_to(q, (self.vs, self.qp_layout, self.M))
-            rows.append(q.sum(axis=1) * m)
+            q = jnp.broadcast_to(q, (self.vs, self.qp_layout, self.M)) * qpm
+            rows.append(q.sum(axis=1))
         F = jnp.concatenate(rows, axis=0)
         return self._scatter_corners(F).reshape(-1)
 

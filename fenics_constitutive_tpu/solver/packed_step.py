@@ -102,14 +102,25 @@ def build_packed_problem(space, laws, q_degree, dtype=None, engine="auto"):
             box
             and space.degree == 1
             and space.mesh.cell_type in ("tetra", "triangle")
-            and whole_mesh
         ):
             # Kuhn tet box meshes fold onto the hex corner channels — zero
             # gathers (the gather engine measures ~29 us/QP on TPU; see
-            # ops.structured.StructuredTetGeometry)
-            from ..ops.structured import build_structured_tet_geometry
+            # ops.structured.StructuredTetGeometry). A law on a tet SUBSET
+            # keeps the engine via a per-class ownership mask
+            # (restrict_structured_tet_geometry).
+            from ..ops.structured import (
+                build_structured_tet_geometry,
+                restrict_structured_tet_geometry,
+            )
 
-            return build_structured_tet_geometry(space, q_degree, constraint, dtype)
+            if _full_structured[0] is None:
+                _full_structured[0] = build_structured_tet_geometry(
+                    space, q_degree, constraint, dtype
+                )
+            geo = _full_structured[0]
+            if whole_mesh:
+                return geo
+            return restrict_structured_tet_geometry(geo, cells)
         if (
             whole_mesh
             and box

@@ -233,11 +233,19 @@ class PackedSimulation:
                 # ONE whole-grid elastic hierarchy (moduli estimated from
                 # the first law — the preconditioner is an elastic surrogate
                 # either way), applied grid-major by the shared fast loop
-                from ..ops.structured import build_structured_geometry
-
-                geo_full = build_structured_geometry(
-                    space, q_degree, geos[0].constraint, self.state.u.dtype
+                from ..ops.structured import (
+                    build_structured_geometry,
+                    build_structured_tet_geometry,
                 )
+
+                if space.mesh.cell_type in ("tetra", "triangle"):
+                    geo_full = build_structured_tet_geometry(
+                        space, q_degree, geos[0].constraint, self.state.u.dtype
+                    )
+                else:
+                    geo_full = build_structured_geometry(
+                        space, q_degree, geos[0].constraint, self.state.u.dtype
+                    )
                 mg = build_multigrid(geo_full, mu, kappa, free, **mg_options)
                 pc = {"bpx": mg.bpx, "vcycle": mg}[preconditioner]
             else:
