@@ -335,6 +335,17 @@ class PackedSimulation:
                     return inner(models, st, bc_dofs, bc_vals, f_ext, dt)
 
                 self._operands = (geos,)
+        # the TPU backend faults on lax.scan over the GATHER-path packed
+        # step with an AMG preconditioner (every size; single-step jit and
+        # the CPU backend run the identical program fine — see
+        # scripts/repro_scan_amg_fault.py and TODO.md). solve_schedule
+        # detects the configuration and falls back to a statically unrolled
+        # step chain instead of faulting.
+        self._scan_unsafe = (
+            preconditioner == "amg"
+            and not any_structured
+            and not all(hasattr(g, "to_internal") for g in geos)
+        )
         self._max_newton = max_newton
         self._newton_rtol = newton_rtol
         self._newton_atol = newton_atol
@@ -484,24 +495,54 @@ class PackedSimulation:
                 raise ValueError(msg)
         assert f_scales.shape[0] == K, (f_scales.shape, K)
 
-        if self._jitted_schedule is None:
+        unroll = self._scan_unsafe and jax.default_backend() not in ("cpu",)
+        if self._jitted_schedule is None or unroll:
             step = self._step
             models = self._models
 
-            def run(state, vals, dts_j, bc_dofs, f_base, f_scales, *operands):
+            def body_of(bc_dofs, f_base, operands_):
                 def body(st, xs):
                     v, dt, fs = xs
                     s2, stats = step(
-                        models, st, bc_dofs, v, f_base * fs, dt, *operands
+                        models, st, bc_dofs, v, f_base * fs, dt, *operands_
                     )
                     return s2, (
                         stats["newton_iters"], stats["r_norm"],
                         stats["r0_norm"], stats["cg_iters_last"],
                     )
 
-                return jax.lax.scan(body, state, (vals, dts_j, f_scales))
+                return body
 
-            self._jitted_schedule = jax.jit(run)
+            if unroll:
+                # statically unrolled K-step chain: same program as the scan
+                # but without the lax.scan wrapper that faults the TPU
+                # backend on the gather+AMG configuration (recompiles per K)
+                def run(state, vals, dts_j, bc_dofs, f_base, f_scales,
+                        *operands_):
+                    body = body_of(bc_dofs, f_base, operands_)
+                    st, outs = state, []
+                    for i in range(vals.shape[0]):
+                        st, o = body(
+                            st, (vals[i], dts_j[i], f_scales[i])
+                        )
+                        outs.append(o)
+                    stacked = tuple(
+                        jnp.stack([o[k] for o in outs])
+                        for k in range(len(outs[0]))
+                    )
+                    return st, stacked
+
+                self._jitted_schedule = jax.jit(run)
+            else:
+                def run(state, vals, dts_j, bc_dofs, f_base, f_scales,
+                        *operands_):
+                    return jax.lax.scan(
+                        body_of(bc_dofs, f_base, operands_),
+                        state,
+                        (vals, dts_j, f_scales),
+                    )
+
+                self._jitted_schedule = jax.jit(run)
 
         self.state, (ni, rn, r0, cg) = self._jitted_schedule(
             self.state, vals, dts_j, bc_dofs, f_base, f_scales,

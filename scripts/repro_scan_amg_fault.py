@@ -1,0 +1,65 @@
+"""Minimal repro: lax.scan over the gather-path packed step + AMG faults TPU.
+
+Observed (r3, re-confirmed r4): jitting ``lax.scan`` over
+``make_packed_step`` on the GATHER-path geometry with an
+``AmgPreconditioner`` pytree argument faults the TPU backend through the
+remote ("axon") tunnel at every problem size. The IDENTICAL program runs
+fine (a) as a single-step jit on TPU, (b) as a statically unrolled K-step
+chain on TPU, and (c) as the same scan on the CPU backend — so the fault is
+specific to scan + this operand pytree on the TPU runtime, not to the math.
+
+Runtime observed: jax 0.8.x, libtpu v5e-1 via the axon tunnel (single chip).
+Production impact: none — PackedSimulation.solve_schedule detects the
+configuration and uses the unrolled chain (solver/simulation.py), and
+scripts/bench_amg_tpu.py always did.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/repro_scan_amg_fault.py
+Expect: "single-step jit OK", then the scan dispatch faults/hangs.
+"""
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fenics_constitutive_tpu.fem import DirichletBC, FunctionSpace, unit_cube_mesh
+from fenics_constitutive_tpu.fem.bcs import combine_bcs
+from fenics_constitutive_tpu.models import VonMises3D
+from fenics_constitutive_tpu.solver.amg import build_amg
+from fenics_constitutive_tpu.solver.packed_step import (
+    build_packed_problem, make_packed_step,
+)
+
+mesh = unit_cube_mesh(6, 6, 6, "tetra")
+V = FunctionSpace(mesh, 1, 3)
+bc = [
+    DirichletBC(V.locate_dofs_geometrical(lambda x: np.isclose(x[:, 0], 0.0)), np.zeros(3)),
+    DirichletBC(V.locate_dofs_geometrical(lambda x: np.isclose(x[:, 0], 1.0)), np.array([0.01, 0, 0])),
+]
+law = VonMises3D({"p_ka": 175000.0, "p_mu": 80769.0, "p_y0": 1200.0, "p_y00": 2500.0, "p_w": 200.0})
+geos, models, state = build_packed_problem(V, law, 2, jnp.float32, engine="gather")
+bc_dofs, bc_vals = combine_bcs(bc)
+free = np.ones(V.ndofs, bool); free[bc_dofs] = False
+amg = build_amg(V, 80769.0, 175000.0, free, q_degree=2)
+dj, vj = jnp.asarray(bc_dofs), jnp.asarray(bc_vals, jnp.float32)
+f0, dt = jnp.zeros(V.ndofs, jnp.float32), jnp.asarray(1.0, jnp.float32)
+
+def step_amg(st, scale, pc):
+    step = make_packed_step(geos, max_newton=1, cg_rtol=1e-5, preconditioner=pc)
+    return step(models, st, dj, vj * scale, f0, dt)
+
+st, _ = jax.jit(step_amg)(state, jnp.float32(1.0), amg)
+jax.block_until_ready(st.u)
+print("single-step jit OK", flush=True)
+
+def scanned(st, scales, pc):
+    return jax.lax.scan(lambda s, x: step_amg(s, x, pc), st, scales)
+
+print("dispatching scan (this is the faulting call on TPU)...", flush=True)
+out, _ = jax.jit(scanned)(state, jnp.arange(1, 4, dtype=jnp.float32), amg)
+jax.block_until_ready(out.u)
+print("scan OK (fault not reproduced on this runtime)", flush=True)

@@ -544,3 +544,68 @@ def test_multimaterial_grid_major_matches_aos():
     # plasticity happened on the Mises half
     a = np.asarray(sim.histories[1]["alpha"])
     assert a.max() > 0
+
+
+def test_schedule_amg_gather_unrolled_fallback(monkeypatch):
+    """The TPU backend faults on lax.scan over the gather-path step with an
+    AMG operand (scripts/repro_scan_amg_fault.py); solve_schedule must
+    detect the configuration and run the statically unrolled chain — with
+    identical results to the scan."""
+    import jax
+
+    from fenics_constitutive_tpu.fem.bcs import combine_bcs
+    from fenics_constitutive_tpu.models import VonMises3D
+
+    from fenics_constitutive_tpu.fem.mesh import Mesh
+
+    box = unit_cube_mesh(3, 3, 3, "tetra")
+    mesh = Mesh(box.nodes, box.cells, "tetra")  # general path: no box metadata
+    V = FunctionSpace(mesh, 1, 3)
+
+    def close(axis, v):
+        return lambda x: np.isclose(x[:, axis], v)
+
+    def build():
+        bcs = [
+            DirichletBC(
+                V.locate_dofs_geometrical(close(0, 0.0), component=0), 0.0
+            ),
+            DirichletBC(
+                V.locate_dofs_geometrical(close(0, 1.0), component=0), 0.0
+            ),
+            DirichletBC(
+                V.locate_dofs_geometrical(close(1, 0.0), component=1), 0.0
+            ),
+            DirichletBC(
+                V.locate_dofs_geometrical(close(2, 0.0), component=2), 0.0
+            ),
+        ]
+        law = VonMises3D(
+            {"p_ka": 175000.0, "p_mu": 80769.0, "p_y0": 1200.0,
+             "p_y00": 2500.0, "p_w": 200.0}
+        )
+        return PackedSimulation(
+            law, V, bcs, 2, preconditioner="amg", engine="gather",
+            newton_rtol=1e-8, newton_atol=1e-8,
+        )
+
+    n_bc = len(combine_bcs(build().bcs)[0])
+    ramp = np.zeros((3, n_bc))
+    # drive the x=1 face (second BC's dofs sit after the first BC's)
+    sim_scan = build()
+    assert sim_scan._scan_unsafe  # the faulting configuration is detected
+    move = slice(n_bc // 4, n_bc // 2)  # second BC block
+    for k in range(3):
+        ramp[k, move] = 0.004 * (k + 1)
+    stats_scan = sim_scan.solve_schedule(ramp)
+    assert bool(stats_scan["converged"].all())
+
+    sim_unroll = build()
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    stats_unroll = sim_unroll.solve_schedule(ramp)
+    np.testing.assert_allclose(
+        np.asarray(sim_unroll.u), np.asarray(sim_scan.u), rtol=1e-12, atol=0
+    )
+    np.testing.assert_allclose(
+        stats_unroll["r_norm"], stats_scan["r_norm"], rtol=1e-10
+    )
