@@ -68,16 +68,21 @@ def windowed_gather(ex, u2: jnp.ndarray, *, interpret: bool = False) -> jnp.ndar
         mask_hi = (
             jax.lax.broadcasted_iota(jnp.int32, (W1, RT), 0) == hi
         ).astype(u_win.dtype)
-        s1 = jax.lax.dot_general(
-            u_win, mask_hi,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=u_win.dtype,
-            precision=_HI,
-        )  # [K, W2, RT]
         mask_lo = (
             jax.lax.broadcasted_iota(jnp.int32, (W2, RT), 0) == lo
         ).astype(u_win.dtype)
-        out_ref[0] = (s1 * mask_lo[None]).sum(axis=1)
+        # static K-loop of plain 2D dots (K = vs <= 3): Mosaic's best-
+        # supported dot_general shape; the MXU contraction is over W1
+        rows = []
+        for k in range(K):
+            s1_k = jax.lax.dot_general(
+                u_win[k], mask_hi,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=u_win.dtype,
+                precision=_HI,
+            )  # [W2, RT]
+            rows.append((s1_k * mask_lo).sum(axis=0))  # [RT]
+        out_ref[0] = jnp.stack(rows, axis=0)
 
     in_specs = [
         pl.BlockSpec((1, RT), lambda b, j: (b, j), memory_space=pltpu.VMEM),
@@ -121,13 +126,19 @@ def windowed_scatter(ex, f: jnp.ndarray, *, interpret: bool = False) -> jnp.ndar
         mask_hi = (
             jax.lax.broadcasted_iota(jnp.int32, (W1, RT), 0) == hi
         ).astype(f_ref.dtype)
-        tmp = f_ref[0][:, None, :] * mask_lo[None]  # [K, W2, RT]
-        part = jax.lax.dot_general(
-            mask_hi, tmp,
-            dimension_numbers=(((1,), (2,)), ((), ())),
-            preferred_element_type=f_ref.dtype,
-            precision=_HI,
-        )  # [W1, K, W2]
+        # static K-loop of plain 2D dots (see windowed_gather)
+        parts = []
+        for k in range(K):
+            tmp_k = f_ref[0, k][None, :] * mask_lo  # [W2, RT]
+            parts.append(
+                jax.lax.dot_general(
+                    mask_hi, tmp_k,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=f_ref.dtype,
+                    precision=_HI,
+                )  # [W1, W2]
+            )
+        part = jnp.stack(parts, axis=1)  # [W1, K, W2]
 
         @pl.when(j == 0)
         def _():

@@ -23,3 +23,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: the suite is compile-bound (hundreds of
+# jitted Newton/CG programs on a 1-core, 8-virtual-device host), and the
+# programs are identical across runs — warm-cache runs cut minutes of wall
+# time. Safe: the cache key includes program, config, and device topology.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_TEST_CACHE", "/tmp/fenics_tpu_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

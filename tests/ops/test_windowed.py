@@ -276,3 +276,39 @@ def test_windowed_multimaterial_bvp():
     x = V.dof_coords[:, 0]
     mid = u[np.isclose(x, 0.5), 0].mean()
     assert 0.0030 < mid < 0.0046
+
+
+def test_windowed_p2_matches_gather_engine():
+    """Degree-2 general tets: the windowed plan runs on dof-nodes (10 per
+    tet), so higher-order spaces ride the same engine."""
+    from fenics_constitutive_tpu.ops.packed import IsotropicTangent
+
+    mesh = shuffled_mesh(3)
+    V = FunctionSpace(mesh, 2, 3)
+    geo_g = build_packed_geometry(V, 2, Constraint.FULL)
+    geo_w = build_windowed_geometry(V, 2, Constraint.FULL)
+    assert geo_w.n_nodes == 10
+
+    rng = np.random.default_rng(11)
+    u = jnp.asarray(rng.standard_normal(V.ndofs))
+    eps_g = np.asarray(geo_g.strain(u)).reshape(6, geo_g.n_qp, -1)
+    eps_w = np.asarray(geo_w.extract_cells(geo_w.strain(geo_w.to_internal(u))))
+    np.testing.assert_allclose(eps_w, eps_g, rtol=1e-12, atol=1e-12)
+
+    N_g = geo_g.N
+    tg_g = IsotropicTangent(
+        kappa=jnp.asarray(2.0),
+        beta=jnp.full(N_g, 1.5), gamma=jnp.zeros(N_g),
+        n=jnp.zeros((6, N_g)),
+    )
+    tg_w = IsotropicTangent(
+        kappa=jnp.asarray(2.0),
+        beta=jnp.full(geo_w.N, 1.5), gamma=jnp.zeros(geo_w.N),
+        n=jnp.zeros((6, geo_w.N)),
+    )
+    v = jnp.asarray(rng.standard_normal(V.ndofs))
+    mv_g = np.asarray(geo_g.matvec(v, tg_g))
+    mv_w = np.asarray(
+        geo_w.from_internal(geo_w.matvec(geo_w.to_internal(v), tg_w))
+    )
+    np.testing.assert_allclose(mv_w, mv_g, rtol=1e-11, atol=1e-11)
