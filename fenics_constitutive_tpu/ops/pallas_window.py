@@ -173,3 +173,84 @@ def windowed_scatter(ex, f: jnp.ndarray, *, interpret: bool = False) -> jnp.ndar
     for p in range(ex.P):
         acc = acc.at[:, p : p + B].add(part5[:, :, p])
     return acc.reshape(K, -1)[:, : ex.M_pad]
+
+
+def windowed_bsr_matvec(w, x: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarray:
+    """Windowed BSR SpMV (ops/windowed_bsr.WindowedBsr) as a fused kernel.
+
+    Row tiles own their outputs (no scatter); the column select is the same
+    two-level one-hot contraction as the element gather, with the window
+    start per row tile scalar-prefetched into the BlockSpec index maps.
+    """
+    from jax.experimental.pallas import tpu as _pltpu
+
+    bc, br, k, T_r, P = w.bc, w.br, w.k, w.T_r, w.P
+    W2 = 128
+    x3 = x.reshape(bc, w.NC_pad // W2, W2)
+    kbb = w.vals.shape[1]  # k * br * bc
+
+    def kernel(jb_ref, loc_ref, vals_ref, *refs):
+        x_refs, y_ref = refs[:-1], refs[-1]
+        x_win = jnp.concatenate([r[:, :, :] for r in x_refs], axis=1)
+        # [bc, P, W2]
+        dtype = x_win.dtype
+
+        def slot(a, acc):
+            l = loc_ref[0, pl.ds(a, 1), :]  # [1, T_r]
+            hi = l // W2
+            lo = l % W2
+            mask_hi = (
+                jax.lax.broadcasted_iota(jnp.int32, (P, T_r), 0) == hi
+            ).astype(dtype)
+            mask_lo = (
+                jax.lax.broadcasted_iota(jnp.int32, (W2, T_r), 0) == lo
+            ).astype(dtype)
+            for jc in range(bc):
+                s1 = jax.lax.dot_general(
+                    x_win[jc], mask_hi,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=dtype,
+                    precision=_HI,
+                )  # [W2, T_r]
+                sel = (s1 * mask_lo).sum(axis=0, keepdims=True)  # [1, T_r]
+                for jr in range(br):
+                    v = vals_ref[0, pl.ds((a * br + jr) * bc + jc, 1), :]
+                    acc = acc.at[jr : jr + 1].add(v * sel)
+            return acc
+
+        acc = jax.lax.fori_loop(
+            0, k, slot, jnp.zeros((br, T_r), dtype)
+        )
+        y_ref[0] = acc
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(w.B,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, k, T_r), lambda b, jb: (b, 0, 0), memory_space=_pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, kbb, T_r), lambda b, jb: (b, 0, 0),
+                memory_space=_pltpu.VMEM,
+            ),
+        ]
+        + [
+            pl.BlockSpec(
+                (bc, 1, W2),
+                (lambda p: lambda b, jb: (0, jb[b] + p, 0))(p),
+                memory_space=_pltpu.VMEM,
+            )
+            for p in range(P)
+        ],
+        out_specs=pl.BlockSpec(
+            (1, br, T_r), lambda b, jb: (b, 0, 0), memory_space=_pltpu.VMEM
+        ),
+    )
+    y = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((w.B, br, T_r), x.dtype),
+        interpret=interpret,
+    )(w.jb, w.loc, w.vals.astype(x.dtype), *([x3] * P))
+    return jnp.transpose(y, (1, 0, 2)).reshape(-1)

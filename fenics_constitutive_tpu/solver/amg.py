@@ -409,7 +409,9 @@ def build_amg(
     geometric_factor: float = 2.6,
     strength_theta: float = 0.06,
     dtype=None,
-) -> AmgPreconditioner:
+    spmv: str = "ell",
+    node_perm=None,
+):
     """Build the smoothed-aggregation elastic hierarchy for ``space``.
 
     Args:
@@ -464,6 +466,8 @@ def build_amg(
 
     A_levels = [A0]
     P_levels: list = []
+    agg_levels: list = []
+    bs_levels = [vs]
     bs = vs  # dofs per "node" at the current level (nb on coarse levels)
     while A_levels[-1].shape[0] > max_coarse and len(A_levels) < max_levels:
         A = A_levels[-1]
@@ -479,6 +483,8 @@ def build_amg(
         bs = B.shape[1]
         if P.shape[1] >= A.shape[0]:  # aggregation stalled
             break
+        agg_levels.append(np.asarray(agg))
+        bs_levels.append(bs)
         if smooth_prolongation:
             d = A.diagonal()
             d = np.where(d > 0, d, 1.0)
@@ -510,6 +516,12 @@ def build_amg(
         d = np.where(np.abs(d) > 0, d, 1.0)
         dinv.append(jnp.asarray(1.0 / d, dtype))
 
+    if spmv == "windowed":
+        return _freeze_windowed(
+            space, A_levels, P_levels, agg_levels, bs_levels, dinv,
+            coarse_inv, omega, nu, node_perm, dtype,
+        )
+    assert spmv == "ell", spmv
     return AmgPreconditioner(
         A_ell=tuple(_to_ell(A, dtype) for A in A_levels[:-1]),
         P_ell=tuple(_to_ell(P, dtype) for P in P_levels),
@@ -519,4 +531,191 @@ def build_amg(
         omega=omega,
         nu=nu,
         n_levels=len(A_levels),
+    )
+
+
+# ---------------------------------------------------------------------------
+# windowed-SpMV variant: TPU-fast V-cycle (no ELL gathers)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True, eq=False)
+class WindowedAmgPreconditioner:
+    """V-cycle whose level SpMVs are windowed BSR contractions
+    (ops/windowed_bsr.py) instead of ELL gathers — the TPU-fast AMG.
+
+    Level vectors are component-major over banded node orders (the fine
+    level uses the mesh RCM, so it can consume ops/windowed.WindowedGeometry
+    internal vectors directly via :meth:`wrap_internal`). The public
+    ``__call__`` keeps the node-major natural signature of
+    AmgPreconditioner.
+    """
+
+    A_win: tuple
+    P_win: tuple
+    R_win: tuple
+    dinv_int: tuple
+    coarse_inv: jnp.ndarray  # dense inverse in the coarsest internal layout
+    perm_dev: jnp.ndarray  # fine nodes: old -> new
+    invperm_dev: jnp.ndarray
+    omega: float
+    nu: int
+    n_levels: int
+    vs: int
+    n_nodes0: int
+    NP0: int
+
+    def _cycle(self, lvl: int, b):
+        if lvl == self.n_levels - 1:
+            return self.coarse_inv @ b
+        A = self.A_win[lvl]
+        di = self.dinv_int[lvl]
+        x = self.omega * di * b
+        for _ in range(self.nu - 1):
+            x = x + self.omega * di * (b - A.matvec(x))
+        r = b - A.matvec(x)
+        bc = self.R_win[lvl].matvec(r)
+        xc = self._cycle(lvl + 1, bc)
+        x = x + self.P_win[lvl].matvec(xc)
+        for _ in range(self.nu):
+            x = x + self.omega * di * (b - A.matvec(x))
+        return x
+
+    # -- layout plumbing -------------------------------------------------------
+
+    def to_internal(self, r: jnp.ndarray) -> jnp.ndarray:
+        r2 = r.reshape(self.n_nodes0, self.vs).T[:, self.invperm_dev]
+        out = jnp.zeros((self.vs, self.NP0), r.dtype)
+        return out.at[:, : self.n_nodes0].set(r2).reshape(-1)
+
+    def from_internal(self, zi: jnp.ndarray) -> jnp.ndarray:
+        z2 = zi.reshape(self.vs, self.NP0)
+        return z2[:, self.perm_dev].T.reshape(-1)
+
+    def __call__(self, r: jnp.ndarray) -> jnp.ndarray:
+        dt = self.coarse_inv.dtype
+        zi = self._cycle(0, self.to_internal(r).astype(dt))
+        return self.from_internal(zi).astype(r.dtype)
+
+    def wrap_internal(self, m_pad: int):
+        """M(r) on WindowedGeometry internal vectors [vs * m_pad] built with
+        the SAME node permutation — pure static slice/pad, no index ops."""
+
+        def apply(r_int):
+            r2 = r_int.reshape(self.vs, m_pad)
+            dt = self.coarse_inv.dtype
+            if m_pad >= self.NP0:
+                ri = r2[:, : self.NP0]
+            else:
+                ri = jnp.pad(r2, ((0, 0), (0, self.NP0 - m_pad)))
+            zi = self._cycle(0, ri.reshape(-1).astype(dt))
+            z2 = zi.reshape(self.vs, self.NP0)
+            if m_pad >= self.NP0:
+                z2 = jnp.pad(z2, ((0, 0), (0, m_pad - self.NP0)))
+            else:
+                z2 = z2[:, :m_pad]
+            return z2.reshape(-1).astype(r_int.dtype)
+
+        return apply
+
+
+jax.tree_util.register_dataclass(
+    WindowedAmgPreconditioner,
+    data_fields=["A_win", "P_win", "R_win", "dinv_int", "coarse_inv",
+                 "perm_dev", "invperm_dev"],
+    meta_fields=["omega", "nu", "n_levels", "vs", "n_nodes0", "NP0"],
+)
+
+
+def _freeze_windowed(
+    space, A_levels, P_levels, agg_levels, bs_levels, dinv_jnp,
+    coarse_inv, omega, nu, node_perm, dtype,
+):
+    """Freeze the SA hierarchy into windowed BSR plans (see build_amg)."""
+    from ..ops.windowed import reverse_cuthill_mckee
+    from ..ops.windowed_bsr import _round_up, build_windowed_bsr
+
+    n_levels = len(A_levels)
+    # per-level node orderings: mesh RCM at the fine level, aggregates by
+    # min contained fine node below
+    if node_perm is None:
+        node_perm = reverse_cuthill_mckee(
+            np.asarray(space.cell_dof_nodes), space.n_dof_nodes
+        )
+    perms = [np.asarray(node_perm, np.int64)]
+    for agg in agg_levels:
+        n_agg = int(agg.max()) + 1
+        key = np.full(n_agg, np.iinfo(np.int64).max)
+        np.minimum.at(key, agg, perms[-1])
+        order = np.argsort(key, kind="stable")
+        nxt = np.empty(n_agg, np.int64)
+        nxt[order] = np.arange(n_agg)
+        perms.append(nxt)
+
+    T_r = 512
+    n_nodes = [A.shape[0] // bs for A, bs in zip(A_levels, bs_levels)]
+    NP = [_round_up(n, T_r) for n in n_nodes]
+
+    A_win = tuple(
+        build_windowed_bsr(
+            A_levels[l], bs_levels[l], bs_levels[l], perms[l], perms[l],
+            tile_rows=T_r, n_pad_rows=NP[l], n_pad_cols=NP[l], dtype=dtype,
+        )
+        for l in range(n_levels - 1)
+    )
+    P_win = tuple(
+        build_windowed_bsr(
+            P_levels[l], bs_levels[l], bs_levels[l + 1], perms[l],
+            perms[l + 1], tile_rows=T_r, n_pad_rows=NP[l],
+            n_pad_cols=NP[l + 1], dtype=dtype,
+        )
+        for l in range(n_levels - 1)
+    )
+    R_win = tuple(
+        build_windowed_bsr(
+            P_levels[l].T.tocsr(), bs_levels[l + 1], bs_levels[l],
+            perms[l + 1], perms[l], tile_rows=T_r, n_pad_rows=NP[l + 1],
+            n_pad_cols=NP[l], dtype=dtype,
+        )
+        for l in range(n_levels - 1)
+    )
+
+    dinv_int = []
+    for l in range(n_levels - 1):
+        d = A_levels[l].diagonal()
+        d = np.where(np.abs(d) > 0, d, 1.0)
+        di = (1.0 / d).reshape(n_nodes[l], bs_levels[l]).T
+        inv = np.argsort(perms[l])
+        full = np.zeros((bs_levels[l], NP[l]))
+        full[:, : n_nodes[l]] = di[:, inv]
+        dinv_int.append(jnp.asarray(full.reshape(-1), dtype))
+
+    # dense coarsest inverse, re-indexed into the internal layout
+    lc = n_levels - 1
+    nc, bsc = n_nodes[lc], bs_levels[lc]
+    Cnat = np.asarray(coarse_inv, np.float64)
+    i_int = (
+        perms[lc][np.arange(nc)][None, :]
+        + (np.arange(bsc) * NP[lc])[:, None]
+    ).reshape(-1)  # natural dof (node, comp) -> internal index, comp-major
+    # natural dof order is node-major: dof = node*bsc + comp
+    nat = (np.arange(nc)[None, :] * bsc + np.arange(bsc)[:, None]).reshape(-1)
+    Cint = np.zeros((bsc * NP[lc], bsc * NP[lc]))
+    Cint[np.ix_(i_int, i_int)] = Cnat[np.ix_(nat, nat)]
+    del dinv_jnp
+
+    return WindowedAmgPreconditioner(
+        A_win=A_win,
+        P_win=P_win,
+        R_win=R_win,
+        dinv_int=tuple(dinv_int),
+        coarse_inv=jnp.asarray(Cint, dtype),
+        perm_dev=jnp.asarray(perms[0], jnp.int32),
+        invperm_dev=jnp.asarray(np.argsort(perms[0]), jnp.int32),
+        omega=float(omega),
+        nu=int(nu),
+        n_levels=n_levels,
+        vs=bs_levels[0],
+        n_nodes0=n_nodes[0],
+        NP0=NP[0],
     )

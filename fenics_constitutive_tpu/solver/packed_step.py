@@ -313,17 +313,30 @@ def make_packed_step(
                 return jnp.where(free, out, v)
 
             if preconditioner is not None:
-                # preconditioners are node-major callables (e.g. AMG):
-                # wrap with the boundary transforms
-                def precond(rr):
-                    rm = geo0.from_internal(jnp.where(free, rr, 0.0))
-                    if precond_dtype is not None:
-                        z = preconditioner(rm.astype(precond_dtype)).astype(
-                            rr.dtype
-                        )
-                    else:
-                        z = preconditioner(rm)
-                    return jnp.where(free, geo0.to_internal(z), rr)
+                # preconditioners are node-major callables (e.g. ELL AMG),
+                # wrapped with the boundary transforms — unless they declare
+                # internal_layout (the windowed AMG built on the engine's
+                # RCM ordering consumes internal vectors directly)
+                if getattr(preconditioner, "internal_layout", False):
+                    def precond(rr):
+                        rm = jnp.where(free, rr, 0.0)
+                        if precond_dtype is not None:
+                            z = preconditioner(
+                                rm.astype(precond_dtype)
+                            ).astype(rr.dtype)
+                        else:
+                            z = preconditioner(rm)
+                        return jnp.where(free, z, rr)
+                else:
+                    def precond(rr):
+                        rm = geo0.from_internal(jnp.where(free, rr, 0.0))
+                        if precond_dtype is not None:
+                            z = preconditioner(
+                                rm.astype(precond_dtype)
+                            ).astype(rr.dtype)
+                        else:
+                            z = preconditioner(rm)
+                        return jnp.where(free, geo0.to_internal(z), rr)
 
                 return linear.cg_solve(
                     matvec, r, rtol=cg_rtol, maxiter=cg_maxiter,

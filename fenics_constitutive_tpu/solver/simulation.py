@@ -170,12 +170,24 @@ class PackedSimulation:
             if preconditioner == "amg":
                 # smoothed-aggregation AMG: works on ANY mesh (the PETSc-AMG
                 # analog); node-major apply, wrapped with the grid<->node
-                # permutation when the step runs grid-major
+                # permutation when the step runs grid-major. On the windowed
+                # engine the hierarchy is frozen into windowed BSR plans
+                # sharing the engine's RCM ordering, so the V-cycle consumes
+                # internal vectors directly (ops/windowed_bsr.py) — no ELL
+                # gathers, no per-iteration permutations.
                 from .amg import build_amg
 
+                windowed_engine = all(
+                    hasattr(g, "to_internal") for g in geos
+                )
                 amg = build_amg(
                     space, mu, kappa, np.asarray(free),
-                    q_degree=q_degree, **mg_options,
+                    q_degree=q_degree,
+                    spmv="windowed" if windowed_engine else "ell",
+                    node_perm=(
+                        geos[0].ex.perm if windowed_engine else None
+                    ),
+                    **mg_options,
                 )
                 if any_structured:
                     pc = lambda r: geo.to_grid_major(  # noqa: E731
@@ -306,9 +318,11 @@ class PackedSimulation:
             step = make_packed_step(geos, preconditioner=pc, **step_opts)
             self._operands = ()
         else:
-            from .amg import AmgPreconditioner
+            from .amg import AmgPreconditioner, WindowedAmgPreconditioner
 
-            if pc is None or isinstance(pc, AmgPreconditioner):
+            if pc is None or isinstance(
+                pc, (AmgPreconditioner, WindowedAmgPreconditioner)
+            ):
                 # the gather-path geometry (per-QP dN/dofmaps) and AMG levels
                 # are O(problem-size) arrays: build the step INSIDE the trace
                 # so they cross jit as ARGUMENTS (pytrees) instead of being
@@ -316,8 +330,12 @@ class PackedSimulation:
                 # executable and overflows remote-compile request limits at
                 # production sizes (solver/amg.AmgPreconditioner docstring)
                 def step(models, st, bc_dofs, bc_vals, f_ext, dt, geos_a, pc_a):
+                    pc_call = pc_a
+                    if isinstance(pc_a, WindowedAmgPreconditioner):
+                        pc_call = pc_a.wrap_internal(geos_a[0].ex.M_pad)
+                        pc_call.internal_layout = True
                     inner = make_packed_step(
-                        geos_a, preconditioner=pc_a, **step_opts
+                        geos_a, preconditioner=pc_call, **step_opts
                     )
                     return inner(models, st, bc_dofs, bc_vals, f_ext, dt)
 
