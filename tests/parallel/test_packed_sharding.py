@@ -90,3 +90,66 @@ def test_structured_step_sharded_matches_unsharded():
     )
     assert rel < 1e-13, rel
     assert float(jnp.max(sharded.histories[0]["alpha"])) > 0  # plasticity happened
+
+
+def test_windowed_step_sharded_matches_unsharded():
+    """The windowed engine's QP state shards on its flat [s, N] axis (N =
+    Q * C_pad with C_pad a multiple of 128, so any device count divides);
+    the step runs SPMD and matches single-device at the MPI-determinism
+    bar. (CPU backend: the exchange runs its XLA reference path — the
+    Pallas kernels are the TPU specialization of the same plan.)"""
+    from fenics_constitutive_tpu.fem.mesh import Mesh as FeMesh
+
+    assert len(jax.devices()) >= 8
+    box = unit_cube_mesh(6, 6, 6, "tetra")
+    rng = np.random.default_rng(0)
+    pi = rng.permutation(box.num_nodes)
+    nodes = np.empty_like(box.nodes)
+    nodes[pi] = box.nodes
+    mesh = FeMesh(nodes, pi[box.cells].astype(np.int32), "tetra")
+    V = FunctionSpace(mesh, 1, 3)
+
+    def close(axis, v):
+        return lambda x: np.isclose(x[:, axis], v)
+
+    bcs = [
+        DirichletBC(V.locate_dofs_geometrical(close(0, 0.0), component=0), 0.0),
+        DirichletBC(V.locate_dofs_geometrical(close(0, 1.0), component=0), 0.008),
+        DirichletBC(V.locate_dofs_geometrical(close(1, 0.0), component=1), 0.0),
+        DirichletBC(V.locate_dofs_geometrical(close(2, 0.0), component=2), 0.0),
+    ]
+    geos, models, state = build_packed_problem(
+        V, VonMises3D(MAT), q_degree=2, engine="windowed"
+    )
+    assert hasattr(geos[0], "to_internal")
+    bcd, bcv = (jnp.asarray(a) for a in combine_bcs(bcs))
+    step = make_packed_step(
+        geos, newton_rtol=1e-10, cg_rtol=1e-12, cg_maxiter=2000
+    )
+    fx = jnp.zeros(V.ndofs, state.u.dtype)
+    dt = jnp.asarray(1.0, state.u.dtype)
+    jitted = jax.jit(lambda st: step(models, st, bcd, bcv.astype(state.u.dtype), fx, dt))
+
+    ref = run_steps(jitted, state)
+
+    mesh8 = Mesh(np.array(jax.devices()[:8]).reshape(8), ("x",))
+    qp_sh = NamedSharding(mesh8, P(None, "x"))  # [s, N] flat QP axis
+    repl = NamedSharding(mesh8, P())
+    state_sh = jax.device_put(
+        state,
+        type(state)(
+            u=repl,
+            stress=tuple(qp_sh for _ in state.stress),
+            histories=tuple(
+                {k: qp_sh for k in h} if h is not None else None
+                for h in state.histories
+            ),
+            t=repl,
+        ),
+    )
+    sharded = run_steps(jitted, state_sh)
+    rel = np.linalg.norm(
+        np.asarray(sharded.u) - np.asarray(ref.u)
+    ) / np.linalg.norm(np.asarray(ref.u))
+    assert rel < 1e-12, rel
+    assert float(jnp.max(sharded.histories[0]["alpha"])) > 0
