@@ -50,17 +50,29 @@ def _pad_u3(ex, u2: jnp.ndarray) -> jnp.ndarray:
     return u_ext.reshape(K, -1, ex.W2)
 
 
+def _check_mosaic(ex, interpret: bool) -> None:
+    # Mosaic: the last two dims of every VMEM block must be divisible by
+    # (8, 128) or equal the array dims. u3 blocks are (K, T/W2, W2).
+    if not interpret:
+        assert ex.pallas_ok, (
+            f"windowed Pallas kernels need tile % (8 * w2) == 0; got "
+            f"T={ex.T}, W2={ex.W2} (use tile=1024 or the XLA ref path)"
+        )
+
+
 def windowed_gather(ex, u2: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarray:
     """u2 [K, M_pad] -> [B, K, Rn] cell-local rows (pads -> 0)."""
+    _check_mosaic(ex, interpret)
     K = u2.shape[0]
     Rn, W1, W2 = ex.Rn, ex.W1, ex.W2
     TT = ex.T // W2  # sub-tiles per node tile
     RT = _row_tile(Rn)
     u3 = _pad_u3(ex, u2)
+    loc3 = ex.loc.reshape(ex.B, 1, Rn)  # middle axis: Mosaic block alignment
 
     def kernel(loc_ref, *refs):
         u_refs, out_ref = refs[:-1], refs[-1]
-        loc = loc_ref[:, :]  # [1, RT] int32
+        loc = loc_ref[0]  # [1, RT] int32
         hi = loc // W2  # -1 -> -1 (no mask_hi match: pads read 0)
         lo = loc % W2
         u_win = jnp.concatenate([r[:, :, :] for r in u_refs], axis=1)
@@ -85,7 +97,9 @@ def windowed_gather(ex, u2: jnp.ndarray, *, interpret: bool = False) -> jnp.ndar
         out_ref[0] = jnp.stack(rows, axis=0)
 
     in_specs = [
-        pl.BlockSpec((1, RT), lambda b, j: (b, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (1, 1, RT), lambda b, j: (b, 0, j), memory_space=pltpu.VMEM
+        ),
     ] + [
         pl.BlockSpec(
             (K, TT, W2),
@@ -103,20 +117,22 @@ def windowed_gather(ex, u2: jnp.ndarray, *, interpret: bool = False) -> jnp.ndar
         ),
         out_shape=jax.ShapeDtypeStruct((ex.B, K, Rn), u2.dtype),
         interpret=interpret,
-    )(ex.loc, *([u3] * ex.P))
+    )(loc3, *([u3] * ex.P))
 
 
 def windowed_scatter(ex, f: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarray:
     """f [B, K, Rn] cell-local rows -> [K, M_pad] node rows (dups summed)."""
+    _check_mosaic(ex, interpret)
     B, K, Rn = f.shape
     W1, W2 = ex.W1, ex.W2
     TT = ex.T // W2
     RT = _row_tile(Rn)
     NJ = Rn // RT
+    loc3 = ex.loc.reshape(ex.B, 1, Rn)
 
     def kernel(loc_ref, f_ref, out_ref):
         j = pl.program_id(1)
-        loc = loc_ref[:, :]  # [1, RT]
+        loc = loc_ref[0]  # [1, RT]
         hi = loc // W2
         lo = loc % W2
         valid = (loc >= 0).astype(f_ref.dtype)  # kill padded rows exactly
@@ -152,7 +168,9 @@ def windowed_scatter(ex, f: jnp.ndarray, *, interpret: bool = False) -> jnp.ndar
         kernel,
         grid=(B, NJ),
         in_specs=[
-            pl.BlockSpec((1, RT), lambda b, j: (b, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, RT), lambda b, j: (b, 0, j), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec(
                 (1, K, RT), lambda b, j: (b, 0, j), memory_space=pltpu.VMEM
             ),
@@ -162,7 +180,7 @@ def windowed_scatter(ex, f: jnp.ndarray, *, interpret: bool = False) -> jnp.ndar
         ),
         out_shape=jax.ShapeDtypeStruct((B, W1, K, W2), f.dtype),
         interpret=interpret,
-    )(ex.loc, f)
+    )(loc3, f)
 
     # combine the per-block window partials: window b covers node tiles
     # [b, b+P) — a static shift-and-add over P (deterministic, no scatter)
@@ -184,67 +202,77 @@ def windowed_bsr_matvec(w, x: jnp.ndarray, *, interpret: bool = False) -> jnp.nd
     """
     from jax.experimental.pallas import tpu as _pltpu
 
+    from .windowed_bsr import _GRAN
+
     bc, br, k, T_r, P = w.bc, w.br, w.k, w.T_r, w.P
     W2 = 128
-    x3 = x.reshape(bc, w.NC_pad // W2, W2)
-    kbb = w.vals.shape[1]  # k * br * bc
+    GT = _GRAN // W2  # sub-tiles per column granule (8: Mosaic alignment)
+    WS = P * GT  # window width in sub-tiles
+    x4 = x.reshape(bc, w.NC_pad // _GRAN, GT, W2)
+    # the slot index is a GRID dim: every ref access is block-granular (no
+    # dynamic slices — Mosaic requires provable 8-alignment of those)
+    loc4 = w.loc.reshape(w.B, k, 1, T_r)
+    vals4 = w.vals.astype(x.dtype).reshape(w.B, k, br * bc, T_r)
 
     def kernel(jb_ref, loc_ref, vals_ref, *refs):
         x_refs, y_ref = refs[:-1], refs[-1]
-        x_win = jnp.concatenate([r[:, :, :] for r in x_refs], axis=1)
-        # [bc, P, W2]
+        a = pl.program_id(1)
+        x_win = jnp.concatenate([r[:, 0] for r in x_refs], axis=1)
+        # [bc, WS, W2]
         dtype = x_win.dtype
+        l = loc_ref[0, 0]  # [1, T_r]
+        hi = l // W2
+        lo = l % W2
+        mask_hi = (
+            jax.lax.broadcasted_iota(jnp.int32, (WS, T_r), 0) == hi
+        ).astype(dtype)
+        mask_lo = (
+            jax.lax.broadcasted_iota(jnp.int32, (W2, T_r), 0) == lo
+        ).astype(dtype)
+        sels = []
+        for jc in range(bc):
+            s1 = jax.lax.dot_general(
+                x_win[jc], mask_hi,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=dtype,
+                precision=_HI,
+            )  # [W2, T_r]
+            sels.append((s1 * mask_lo).sum(axis=0, keepdims=True))
+        sel = jnp.concatenate(sels, axis=0)  # [bc, T_r]
+        vblk = vals_ref[0, 0]  # [br * bc, T_r]
+        contrib = (vblk.reshape(br, bc, T_r) * sel[None]).sum(axis=1)
 
-        def slot(a, acc):
-            l = loc_ref[0, pl.ds(a, 1), :]  # [1, T_r]
-            hi = l // W2
-            lo = l % W2
-            mask_hi = (
-                jax.lax.broadcasted_iota(jnp.int32, (P, T_r), 0) == hi
-            ).astype(dtype)
-            mask_lo = (
-                jax.lax.broadcasted_iota(jnp.int32, (W2, T_r), 0) == lo
-            ).astype(dtype)
-            for jc in range(bc):
-                s1 = jax.lax.dot_general(
-                    x_win[jc], mask_hi,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=dtype,
-                    precision=_HI,
-                )  # [W2, T_r]
-                sel = (s1 * mask_lo).sum(axis=0, keepdims=True)  # [1, T_r]
-                for jr in range(br):
-                    v = vals_ref[0, pl.ds((a * br + jr) * bc + jc, 1), :]
-                    acc = acc.at[jr : jr + 1].add(v * sel)
-            return acc
+        @pl.when(a == 0)
+        def _():
+            y_ref[0] = contrib
 
-        acc = jax.lax.fori_loop(
-            0, k, slot, jnp.zeros((br, T_r), dtype)
-        )
-        y_ref[0] = acc
+        @pl.when(a > 0)
+        def _():
+            y_ref[0] = y_ref[0] + contrib
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(w.B,),
+        grid=(w.B, k),
         in_specs=[
             pl.BlockSpec(
-                (1, k, T_r), lambda b, jb: (b, 0, 0), memory_space=_pltpu.VMEM
+                (1, 1, 1, T_r), lambda b, a, jb: (b, a, 0, 0),
+                memory_space=_pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, kbb, T_r), lambda b, jb: (b, 0, 0),
+                (1, 1, br * bc, T_r), lambda b, a, jb: (b, a, 0, 0),
                 memory_space=_pltpu.VMEM,
             ),
         ]
         + [
             pl.BlockSpec(
-                (bc, 1, W2),
-                (lambda p: lambda b, jb: (0, jb[b] + p, 0))(p),
+                (bc, 1, GT, W2),
+                (lambda p: lambda b, a, jb: (0, jb[b] + p, 0, 0))(p),
                 memory_space=_pltpu.VMEM,
             )
             for p in range(P)
         ],
         out_specs=pl.BlockSpec(
-            (1, br, T_r), lambda b, jb: (b, 0, 0), memory_space=_pltpu.VMEM
+            (1, br, T_r), lambda b, a, jb: (b, 0, 0), memory_space=_pltpu.VMEM
         ),
     )
     y = pl.pallas_call(
@@ -252,5 +280,5 @@ def windowed_bsr_matvec(w, x: jnp.ndarray, *, interpret: bool = False) -> jnp.nd
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((w.B, br, T_r), x.dtype),
         interpret=interpret,
-    )(w.jb, w.loc, w.vals.astype(x.dtype), *([x3] * P))
+    )(w.jb, loc4, vals4, *([x4] * P))
     return jnp.transpose(y, (1, 0, 2)).reshape(-1)

@@ -216,9 +216,15 @@ class WindowedExchange:
 
     # ---- dispatch -------------------------------------------------------------
 
+    @property
+    def pallas_ok(self) -> bool:
+        """Mosaic requires the u3 block's last two dims be (8k, 128k): the
+        node tile must span >= 8 lane sub-tiles (T % (8 * W2) == 0)."""
+        return self.W2 % 128 == 0 and self.T % (8 * self.W2) == 0
+
     def gather(self, u2: jnp.ndarray) -> jnp.ndarray:
         """[K, M_pad] node rows -> [B, K, Rn] cell-local rows."""
-        if _use_pallas(u2.dtype):
+        if _use_pallas(u2.dtype) and self.pallas_ok:
             from .pallas_window import windowed_gather
 
             return windowed_gather(self, u2)
@@ -226,7 +232,7 @@ class WindowedExchange:
 
     def scatter(self, f: jnp.ndarray) -> jnp.ndarray:
         """[B, K, Rn] cell-local rows -> [K, M_pad] node rows (sum dups)."""
-        if _use_pallas(f.dtype):
+        if _use_pallas(f.dtype) and self.pallas_ok:
             from .pallas_window import windowed_scatter
 
             return windowed_scatter(self, f)
@@ -260,7 +266,7 @@ def build_windowed_exchange(
     cell_nodes: np.ndarray,
     n_nodes: int,
     *,
-    tile: int = 256,
+    tile: int = 1024,
     w2: int = 128,
     max_pad_ratio: float = 4.0,
     perm: np.ndarray | None = None,
@@ -268,6 +274,8 @@ def build_windowed_exchange(
     """Build the blocked window plan for ``cell_nodes`` [C, n].
 
     tile: nodes per block (T); windows are W = ceil((T + span_max)/T) * T.
+        The Pallas TPU kernels require tile % (8 * w2) == 0 (Mosaic block
+        alignment); other tiles still work through the XLA reference path.
     w2: lane width of the second select level (W2 | W and W2 | T required).
     perm: precomputed node ordering (old -> new), e.g. the whole-mesh RCM
         shared by every law of a multi-material problem so their internal
@@ -503,7 +511,7 @@ def build_windowed_geometry(
     cells: np.ndarray | None = None,
     dtype=None,
     *,
-    tile: int = 256,
+    tile: int = 1024,
     perm: np.ndarray | None = None,
 ) -> WindowedGeometry:
     """Tabulate windowed SoA geometry (host-side, once per mesh/law).

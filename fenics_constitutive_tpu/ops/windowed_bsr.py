@@ -36,6 +36,7 @@ import numpy as np
 __all__ = ["WindowedBsr", "build_windowed_bsr"]
 
 _W2 = 128  # column sub-tile width (lane width)
+_GRAN = 8 * _W2  # column window granule: Mosaic blocks need >= 8 sub-tiles
 
 
 def _round_up(x: int, m: int) -> int:
@@ -54,7 +55,7 @@ class WindowedBsr:
 
     loc:  [B, k, T_r] int32 window-local col-node index per slot (-1 pad)
     vals: [B, k * br * bc, T_r] block entries, slot-major then (jr, jc)
-    jb:   [B] int32 window start in 128-col-node sub-tiles
+    jb:   [B] int32 window start in 1024-col-node granules (``_GRAN``)
     """
 
     loc: jnp.ndarray
@@ -92,7 +93,7 @@ class WindowedBsr:
     def matvec_ref(self, x: jnp.ndarray) -> jnp.ndarray:
         """Pure-XLA reference (CPU tests): naive take over the same plan."""
         x2 = x.reshape(self.bc, self.NC_pad)
-        base = (self.jb * _W2)[:, None, None]
+        base = (self.jb * _GRAN)[:, None, None]
         gi = jnp.where(self.loc >= 0, self.loc + base, self.NC_pad)
         x_ext = jnp.concatenate(
             [x2, jnp.zeros((self.bc, 1), x.dtype)], axis=1
@@ -150,12 +151,13 @@ def build_windowed_bsr(
         NR_pad = n_pad_rows
     B = NR_pad // T_r
 
-    NC_pad = _round_up(NCn, _W2)
+    NC_pad = _round_up(NCn, _GRAN)
     if n_pad_cols is not None:
-        assert n_pad_cols >= NC_pad and n_pad_cols % _W2 == 0
+        assert n_pad_cols >= NC_pad and n_pad_cols % _GRAN == 0
         NC_pad = n_pad_cols
 
-    # per-tile window: cover all block-cols of the tile's rows
+    # per-tile window: cover all block-cols of the tile's rows; window
+    # starts/extents in 1024-col granules (Mosaic block alignment)
     jb = np.zeros(B, np.int64)
     wmax = 1
     for b in range(B):
@@ -165,12 +167,12 @@ def build_windowed_bsr(
             lo, hi = int(cols_b.min()), int(cols_b.max())
         else:
             lo = hi = 0
-        jb[b] = lo // _W2
-        wmax = max(wmax, hi // _W2 - jb[b] + 1)
+        jb[b] = lo // _GRAN
+        wmax = max(wmax, hi // _GRAN - jb[b] + 1)
     # clamp windows into the fixed col space (small/dense levels: the
     # window may be the whole col space)
-    P = min(int(wmax), NC_pad // _W2)
-    shift = np.maximum(jb + P - NC_pad // _W2, 0)
+    P = min(int(wmax), NC_pad // _GRAN)
+    shift = np.maximum(jb + P - NC_pad // _GRAN, 0)
     jb = jb - shift
 
     # re-check coverage after the clamp (a shifted window still covers all
@@ -182,9 +184,9 @@ def build_windowed_bsr(
     pos = np.arange(len(indices)) - indptr[rows]
     b_of = rows // T_r
     t_of = rows % T_r
-    loc[b_of, pos, t_of] = (indices - jb[b_of] * _W2).astype(np.int32)
+    loc[b_of, pos, t_of] = (indices - jb[b_of] * _GRAN).astype(np.int32)
     vals[b_of, pos, :, :, t_of] = data
-    assert loc.max() < P * _W2, "window does not cover a row's columns"
+    assert loc.max() < P * _GRAN, "window does not cover a row's columns"
     assert (loc >= -1).all()
 
     return WindowedBsr(

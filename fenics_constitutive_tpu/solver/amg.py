@@ -633,7 +633,7 @@ def _freeze_windowed(
 ):
     """Freeze the SA hierarchy into windowed BSR plans (see build_amg)."""
     from ..ops.windowed import reverse_cuthill_mckee
-    from ..ops.windowed_bsr import _round_up, build_windowed_bsr
+    from ..ops.windowed_bsr import _GRAN, _round_up, build_windowed_bsr
 
     n_levels = len(A_levels)
     # per-level node orderings: mesh RCM at the fine level, aggregates by
@@ -654,7 +654,9 @@ def _freeze_windowed(
 
     T_r = 512
     n_nodes = [A.shape[0] // bs for A, bs in zip(A_levels, bs_levels)]
-    NP = [_round_up(n, T_r) for n in n_nodes]
+    # levels are both row AND col spaces of the inter-level operators, so
+    # pad to lcm(T_r, column granule) = the 1024-node Mosaic granule
+    NP = [_round_up(n, max(T_r, _GRAN)) for n in n_nodes]
 
     A_win = tuple(
         build_windowed_bsr(

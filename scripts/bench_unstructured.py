@@ -75,7 +75,7 @@ def timeit(name, fn, *args, reps=4):
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 35
-    tile = int(os.environ.get("BENCH_TILE", "256"))
+    tile = int(os.environ.get("BENCH_TILE", "1024"))
     fixed = os.environ.get("FIXED")
     mesh = imported_mesh(n)
     V = FunctionSpace(mesh, 1, 3)
