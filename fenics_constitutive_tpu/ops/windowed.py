@@ -254,6 +254,10 @@ class WindowedExchange:
 
 
 def _use_pallas(dtype) -> bool:
+    import os
+
+    if os.environ.get("FC_NO_PALLAS_WINDOW"):  # debug: force the XLA path
+        return False
     if dtype not in (jnp.float32, jnp.dtype("float32")):
         return False
     try:
@@ -448,11 +452,21 @@ class WindowedGeometry:
         return free.at[self.bc_internal(bc_dofs)].set(False)
 
     # ---- kinematics / assembly (internal layout) ------------------------------
+    # The tiny-dim contractions (n<=10 nodes, g=vs<=3, s<=6) are UNROLLED at
+    # trace time into elementwise [N] multiply-adds instead of jnp.einsum:
+    # on TPU, einsum lowers to dot_general whose default precision is bf16
+    # multiplies — enough operator error to stall the outer Newton at
+    # r/r0 ~1e-2 (measured on v5e, scripts/bench_unstructured.py) — while
+    # "highest" costs 6 MXU passes. Unrolled VPU sums are full-f32 at
+    # default precision and carry no such tax. The Mandel map T[s, i, j]
+    # (ops/mandel._mandel_matrix_map) is a host constant with exactly one
+    # nonzero slot s per tensor component (i, j), so both directions unroll
+    # to one scaled term per component.
 
-    def _mandel_map(self, dtype):
+    def _mandel_np(self):
         from . import mandel
 
-        return jnp.asarray(mandel._mandel_matrix_map(self.constraint), dtype)
+        return mandel._mandel_matrix_map(self.constraint)  # np [s, g, g]
 
     def _u_cells(self, ui: jnp.ndarray) -> jnp.ndarray:
         rows = self.ex.gather(ui.reshape(self.vs, self.ex.M_pad))
@@ -465,28 +479,96 @@ class WindowedGeometry:
         u_eN = jnp.broadcast_to(
             u_e[:, :, None, :], (n, vs, self.n_qp, self.ex.C_pad)
         ).reshape(n, vs, self.N)
-        grad = jnp.einsum("ngN,njN->gjN", self.dN, u_eN)
-        M = self._mandel_map(du.dtype)
-        return jnp.einsum("sij,ijN->sN", M, grad)
+        T = self._mandel_np()
+        s, g = T.shape[0], T.shape[1]
+        # grad[i, j] = sum_n dN[n, i] * u[n, j] (unrolled over n)
+        grad = {}
+        for i in range(g):
+            for j in range(vs):
+                acc = self.dN[0, i] * u_eN[0, j]
+                for a in range(1, n):
+                    acc = acc + self.dN[a, i] * u_eN[a, j]
+                grad[i, j] = acc
+        rows = []
+        for si in range(s):
+            terms = [
+                (T[si, i, j], grad[i, j])
+                for i in range(g)
+                for j in range(g)
+                if T[si, i, j] != 0.0
+            ]
+            if not terms:  # plane-constraint zz slot: no 2D image
+                rows.append(jnp.zeros(self.N, du.dtype))
+                continue
+            acc = None
+            for c, gij in terms:
+                t = gij if c == 1.0 else jnp.asarray(c, du.dtype) * gij
+                acc = t if acc is None else acc + t
+            rows.append(acc)
+        return jnp.stack(rows, axis=0)
 
     def residual(self, sigma: jnp.ndarray) -> jnp.ndarray:
         """Mandel stress [s, N] -> internal residual [vs*M_pad]."""
-        M = self._mandel_map(sigma.dtype)
-        sig_t = jnp.einsum("sij,sN->ijN", M, sigma) * self.w
-        t = jnp.einsum("ngN,gjN->njN", self.dN, sig_t)
-        f_e = t.reshape(self.n_nodes, self.vs, self.n_qp, self.ex.C_pad).sum(
-            axis=2
-        )
+        T = self._mandel_np()
+        g = T.shape[1]
+        n, vs = self.n_nodes, self.vs
+        # sig_t[i, j] = w * sum_s T[s, i, j] sigma[s]: exactly one s per (i, j)
+        sig_t = {}
+        for i in range(g):
+            for j in range(g):
+                (si,) = [
+                    si for si in range(T.shape[0]) if T[si, i, j] != 0.0
+                ] or (None,)
+                if si is None:
+                    sig_t[i, j] = None
+                    continue
+                c = T[si, i, j]
+                v = sigma[si] if c == 1.0 else jnp.asarray(
+                    c, sigma.dtype
+                ) * sigma[si]
+                sig_t[i, j] = v * self.w
+        cols = []
+        for a in range(n):
+            for j in range(vs):
+                acc = None
+                for i in range(g):
+                    if sig_t[i, j] is None:
+                        continue
+                    t = self.dN[a, i] * sig_t[i, j]
+                    acc = t if acc is None else acc + t
+                cols.append(
+                    acc.reshape(self.n_qp, self.ex.C_pad).sum(axis=0)
+                )
+        f_e = jnp.stack(cols, axis=0).reshape(n, vs, self.ex.C_pad)
         return self.ex.scatter(self.ex.cells_to_rows(f_e)).reshape(-1)
 
     def matvec(self, v: jnp.ndarray, tangent) -> jnp.ndarray:
         return self.residual(tangent.apply(self.strain(v)))
 
     def jacobi_diag(self, tangent) -> jnp.ndarray:
-        M = self._mandel_map(self.w.dtype)
+        T = self._mandel_np()
+        s = T.shape[0]
+        dtype = self.w.dtype
+        zero = jnp.zeros(self.N, dtype)
         cols = []
         for a in range(self.n_nodes):
-            B_a = jnp.einsum("sij,iN->sjN", M, self.dN[a])  # [s, vs, N]
+            # B_a[s, j] = sum_i T[s, i, j] dN[a, i] (unrolled host constants)
+            brows = []
+            for si in range(s):
+                row = []
+                for j in range(self.vs):
+                    acc = None
+                    for i in range(T.shape[1]):
+                        c = T[si, i, j]
+                        if c == 0.0:
+                            continue
+                        t = self.dN[a, i] if c == 1.0 else jnp.asarray(
+                            c, dtype
+                        ) * self.dN[a, i]
+                        acc = t if acc is None else acc + t
+                    row.append(zero if acc is None else acc)
+                brows.append(jnp.stack(row, axis=0))
+            B_a = jnp.stack(brows, axis=0)  # [s, vs, N]
             q = tangent.quad_diag(B_a)  # [vs, N]
             contrib = (q * self.w).reshape(
                 self.vs, self.n_qp, self.ex.C_pad

@@ -283,6 +283,12 @@ class PackedSimulation:
         ):
             cg_reduce_dtype = jnp.float64
 
+        # NOTE on TPU f32 + the windowed engine: the engine's tiny-dim
+        # contractions are unrolled into VPU multiply-adds precisely so the
+        # MXU's default bf16 einsum precision never touches the CG operator
+        # (einsum-based kinematics stalled the outer Newton at r/r0 ~1e-2;
+        # measured on v5e, ops/windowed.py kinematics comment). No
+        # matmul_precision override is needed for correctness on any engine.
         step_opts = dict(
             newton_rtol=newton_rtol,
             newton_atol=newton_atol,

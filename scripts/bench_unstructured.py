@@ -15,7 +15,11 @@ Gmsh write/read, so it arrives exactly like an external mesh: no structured
 metadata, no banded numbering (read_gmsh path, fem/io.py).
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_unstructured.py [n]
-Env: BENCH_TILE (default 256), FIXED (cg_fixed_iters), GATHER=1, STEPS.
+Env: BENCH_TILE (default 1024), FIXED (cg_fixed_iters), GATHER=1, STEPS,
+PRECISION (matmul_precision override; unset = the product default, which is
+"highest" for windowed f32 — the TPU's default-bf16 einsum precision
+perturbs the CG operator enough to stall the outer Newton at r/r0 ~1e-2;
+PRECISION=default forces the bf16 path to reproduce that).
 """
 
 from __future__ import annotations
@@ -104,6 +108,7 @@ def main() -> None:
         newton_rtol=1e-6, newton_atol=1e-3,
         cg_rtol=1e-5, cg_maxiter=2000,
         cg_fixed_iters=int(fixed) if fixed else None,
+        matmul_precision=os.environ.get("PRECISION"),
     )
     geo = sim._geos[0]
     ex = geo.ex
