@@ -120,6 +120,16 @@ def main() -> None:
     )
 
     # --- primitives ---------------------------------------------------------
+    if os.environ.get("PRIMS", "1") != "0":
+        _primitives(geo, ex)
+
+    _steps(sim, bc_move, geo)
+
+    if os.environ.get("GATHER") == "1":
+        _gather_engine(V, bcs, bc_move)
+
+
+def _primitives(geo, ex) -> None:
     rng = np.random.default_rng(1)
     u2 = jnp.asarray(rng.standard_normal((3, ex.M_pad)).astype(np.float32))
     rows = jnp.asarray(
@@ -141,6 +151,8 @@ def main() -> None:
     )
     timeit("matvec (full CG iteration core)", jax.jit(lambda v: geo.matvec(v, tg)), ui)
 
+
+def _steps(sim, bc_move, geo) -> None:
     # --- full Newton steps on a real plastic ramp -----------------------------
     steps = int(os.environ.get("STEPS", "3"))
     times = []
@@ -168,20 +180,20 @@ def main() -> None:
             flush=True,
         )
 
-    if os.environ.get("GATHER") == "1":
-        sim_g = PackedSimulation(
-            VonMises3D(MAT), V, bcs, 2, engine="gather",
-            dtype=jnp.float32,
-            newton_rtol=1e-6, newton_atol=1e-3, cg_rtol=1e-5, cg_maxiter=2000,
-        )
-        bc_move.value = 0.004
-        t0 = time.perf_counter()
-        sim_g.solve()
-        print(f"  gather engine step 1: {(time.perf_counter()-t0)*1000:.0f} ms")
-        t0 = time.perf_counter()
-        bc_move.value = 0.008
-        sim_g.solve()
-        print(f"  gather engine step 2: {(time.perf_counter()-t0)*1000:.0f} ms")
+def _gather_engine(V, bcs, bc_move) -> None:
+    sim_g = PackedSimulation(
+        VonMises3D(MAT), V, bcs, 2, engine="gather",
+        dtype=jnp.float32,
+        newton_rtol=1e-6, newton_atol=1e-3, cg_rtol=1e-5, cg_maxiter=2000,
+    )
+    bc_move.value = 0.004
+    t0 = time.perf_counter()
+    sim_g.solve()
+    print(f"  gather engine step 1: {(time.perf_counter()-t0)*1000:.0f} ms")
+    t0 = time.perf_counter()
+    bc_move.value = 0.008
+    sim_g.solve()
+    print(f"  gather engine step 2: {(time.perf_counter()-t0)*1000:.0f} ms")
 
 
 if __name__ == "__main__":

@@ -5,6 +5,11 @@ Stages (each one jitted dispatch, scale = the crashing config):
   2. full matvec (strain -> tangent -> residual) 100x in a fori_loop
   3. matvec loop + f64-reduction dots (the CG loop's scalar pattern)
   4. the real jitted Newton step via make_packed_step (the crasher)
+  5. eval chain (strain -> VonMises3D.evaluate_packed -> residual) x10
+  6. jacobi_diag x10
+  7. real linear.cg_solve (adaptive while_loop + jacobi diag), one dispatch
+  8. cg_solve nested in an outer 2-iteration while_loop (Newton skeleton,
+     no model eval)
 
 Run: python scripts/repro_windowed_fault.py [n] [stage]
 """
@@ -106,6 +111,99 @@ def main() -> None:
 
         with jax.default_matmul_precision("highest"):
             run(f"stage3 cg-ish x{reps} (f64 dots)", loop_cgish, ui)
+
+    if stage in (0, 5, 6, 7, 8):
+        from fenics_constitutive_tpu.models import VonMises3D
+        from fenics_constitutive_tpu.solver import linear
+        from fenics_constitutive_tpu.solver.packed_step import (
+            build_packed_problem,
+        )
+
+        mat = {
+            "p_ka": 175000.0, "p_mu": 80769.0, "p_y0": 1200.0,
+            "p_y00": 2500.0, "p_w": 200.0,
+        }
+        geos, models, state0 = build_packed_problem(
+            V, VonMises3D(mat), 2, jnp.float32, engine="windowed"
+        )
+        g = geos[0]
+        model = models[0]
+        sig0 = state0.stress[0]
+        h0 = state0.histories[0]
+        du = ui * jnp.float32(1e-3)
+
+        if stage in (0, 5):
+            def loop_eval(d):
+                def body(i, carry):
+                    acc, s, h = carry
+                    eps = g.strain(acc)
+                    s2, tg2, h2 = model.evaluate_packed(
+                        jnp.float32(0.0), jnp.float32(1.0), eps, s, h
+                    )
+                    r = g.residual(s2)
+                    return (r * jnp.float32(1e-9), s2, h2)
+
+                out, _, _ = jax.lax.fori_loop(0, 10, body, (d, sig0, h0))
+                return out
+
+            run("stage5 eval chain x10", loop_eval, du)
+
+        if stage in (0, 6, 7, 8):
+            eps = jax.jit(g.strain)(du)
+            _, tg, _ = jax.jit(
+                lambda e: model.evaluate_packed(
+                    jnp.float32(0.0), jnp.float32(1.0), e, sig0, h0
+                )
+            )(eps)
+            tg = jax.block_until_ready(tg)
+
+        if stage in (0, 6):
+            def loop_diag(t):
+                def body(i, acc):
+                    return acc + g.jacobi_diag(t)
+
+                return jax.lax.fori_loop(
+                    0, 10, body, jnp.zeros(g.ndofs_int, jnp.float32)
+                )
+
+            run("stage6 jacobi_diag x10", loop_diag, tg)
+
+        if stage in (0, 7, 8):
+            free = jnp.ones(g.ndofs_int, bool)
+
+            def cg_once(t, b):
+                diag = jnp.where(free, g.jacobi_diag(t), 1.0)
+
+                def mv(v):
+                    return g.matvec(v, t)
+
+                x, k = linear.cg_solve(
+                    mv, b, diag, rtol=1e-5, maxiter=100,
+                    reduce_dtype=jnp.float64,
+                )
+                return x, k
+
+            if stage in (0, 7):
+                x, k = run("stage7 cg_solve(maxiter=100)", cg_once, tg, du)
+                print(f"    cg iters: {int(k)}", flush=True)
+
+            if stage in (0, 8):
+                def newton_skel(t, b):
+                    def cond(carry):
+                        it = carry[1]
+                        return it < 2
+
+                    def body(carry):
+                        u, it = carry
+                        x, _ = cg_once(t, u)
+                        return (b + x * jnp.float32(1e-9), it + 1)
+
+                    out, _ = jax.lax.while_loop(
+                        cond, body, (b, jnp.asarray(0, jnp.int32))
+                    )
+                    return out
+
+                run("stage8 cg in while_loop x2", newton_skel, tg, du)
 
     if stage in (0, 4):
         from fenics_constitutive_tpu.fem import DirichletBC
