@@ -10,6 +10,10 @@ Stages (each one jitted dispatch, scale = the crashing config):
   7. real linear.cg_solve (adaptive while_loop + jacobi diag), one dispatch
   8. cg_solve nested in an outer 2-iteration while_loop (Newton skeleton,
      no model eval)
+  9. cg_solve followed by the model eval chain in ONE dispatch (a full
+     Newton iteration's work, no outer loop)
+ 10. stage-9 body nested in a 2-iteration while_loop (the exact Newton
+     skeleton of make_packed_step's windowed path — the suspected crasher)
 
 Run: python scripts/repro_windowed_fault.py [n] [stage]
 """
@@ -112,7 +116,7 @@ def main() -> None:
         with jax.default_matmul_precision("highest"):
             run(f"stage3 cg-ish x{reps} (f64 dots)", loop_cgish, ui)
 
-    if stage in (0, 5, 6, 7, 8):
+    if stage in (0, 5, 6, 7, 8, 9, 10):
         from fenics_constitutive_tpu.models import VonMises3D
         from fenics_constitutive_tpu.solver import linear
         from fenics_constitutive_tpu.solver.packed_step import (
@@ -148,7 +152,7 @@ def main() -> None:
 
             run("stage5 eval chain x10", loop_eval, du)
 
-        if stage in (0, 6, 7, 8):
+        if stage in (0, 6, 7, 8, 9, 10):
             eps = jax.jit(g.strain)(du)
             _, tg, _ = jax.jit(
                 lambda e: model.evaluate_packed(
@@ -168,7 +172,7 @@ def main() -> None:
 
             run("stage6 jacobi_diag x10", loop_diag, tg)
 
-        if stage in (0, 7, 8):
+        if stage in (0, 7, 8, 9, 10):
             free = jnp.ones(g.ndofs_int, bool)
 
             def cg_once(t, b):
@@ -186,6 +190,43 @@ def main() -> None:
             if stage in (0, 7):
                 x, k = run("stage7 cg_solve(maxiter=100)", cg_once, tg, du)
                 print(f"    cg iters: {int(k)}", flush=True)
+
+            if stage in (0, 9, 10):
+                def newton_iter(u, r, s, h):
+                    """One full Newton iteration's work: solve then re-eval."""
+                    delta, _ = cg_once(tg, r)
+                    u2 = u - delta
+                    eps2 = g.strain(u2)
+                    s2, _tg2, h2 = model.evaluate_packed(
+                        jnp.float32(0.0), jnp.float32(1.0), eps2, s, h
+                    )
+                    r2 = g.residual(s2)
+                    return u2, r2, s2, h2
+
+                if stage == 9:
+                    run(
+                        "stage9 cg+eval one dispatch",
+                        lambda u, r: newton_iter(u, r, sig0, h0)[1],
+                        du, du,
+                    )
+
+                if stage == 10:
+                    def newton_skel2(u0, r0):
+                        def cond(carry):
+                            return carry[4] < 2
+
+                        def body(carry):
+                            u, r, s, h, it = carry
+                            u2, r2, s2, h2 = newton_iter(u, r, s, h)
+                            return (u2, r2, s2, h2, it + 1)
+
+                        out = jax.lax.while_loop(
+                            cond, body,
+                            (u0, r0, sig0, h0, jnp.asarray(0, jnp.int32)),
+                        )
+                        return out[1]
+
+                    run("stage10 (cg+eval) in while x2", newton_skel2, du, du)
 
             if stage in (0, 8):
                 def newton_skel(t, b):
