@@ -22,6 +22,7 @@ from .mesh import Mesh
 __all__ = [
     "read_gmsh",
     "write_gmsh",
+    "write_gmsh41_binary",
     "write_vtu",
     "read_vtu",
     "PVDWriter",
@@ -36,6 +37,14 @@ _GMSH_TYPES = {
     5: ("hex", 8),
 }
 _GMSH_IDS = {v[0]: k for k, v in _GMSH_TYPES.items()}
+
+# node counts of the remaining standard gmsh element types (needed only to
+# SKIP records of unsupported types in binary files, where there is no
+# per-line structure to resynchronize on)
+_GMSH_SKIP_NODES = {
+    6: 6, 7: 5, 8: 3, 9: 6, 10: 9, 11: 10, 12: 27, 13: 18, 14: 14,
+    15: 1, 16: 8, 17: 20, 18: 15, 19: 13,
+}
 
 # node-order permutations gmsh -> ours (ours: tensor ordering for quad/hex)
 _FROM_GMSH_PERM = {
@@ -54,11 +63,13 @@ _DIM_RANK = {"interval": 1, "triangle": 2, "quad": 2, "tetra": 3, "hex": 3}
 
 
 class _Scanner:
-    """Section-seeking line scanner over a .msh file."""
+    """Section-seeking line scanner over a .msh file (or its text)."""
 
-    def __init__(self, path):
-        with open(path) as f:
-            self.lines = [ln.strip() for ln in f]
+    def __init__(self, path=None, text=None):
+        if text is None:
+            with open(path) as f:
+                text = f.read()
+        self.lines = [ln.strip() for ln in text.splitlines()]
         self.i = 0
 
     def seek(self, tag) -> bool:
@@ -170,6 +181,128 @@ def _read_gmsh_v41(sc: _Scanner):
     return nodes, by_type, tags_by_type
 
 
+class _BinReader:
+    """Typed cursor over the raw bytes of a binary .msh section."""
+
+    def __init__(self, data: bytes, off: int, dsize: int, bo: str):
+        self.data = data
+        self.o = off
+        self._i4 = np.dtype(bo + "i4")
+        self._sz = np.dtype(bo + ("u8" if dsize == 8 else "u4"))
+        self._f8 = np.dtype(bo + "f8")
+        self._dsize = dsize
+
+    def ints(self, n: int) -> np.ndarray:
+        a = np.frombuffer(self.data, self._i4, n, self.o)
+        self.o += 4 * n
+        return a
+
+    def sizes(self, n: int) -> np.ndarray:
+        a = np.frombuffer(self.data, self._sz, n, self.o)
+        self.o += self._dsize * n
+        return a
+
+    def doubles(self, n: int) -> np.ndarray:
+        a = np.frombuffer(self.data, self._f8, n, self.o)
+        self.o += 8 * n
+        return a
+
+
+def _bin_section(data: bytes, name: bytes) -> int:
+    """Byte offset just past the ``$name`` line, or -1 if absent."""
+    key = b"$" + name
+    j = data.find(key)
+    if j < 0:
+        return -1
+    return data.index(b"\n", j) + 1
+
+
+def _read_gmsh_v41_binary(data: bytes, dsize: int, bo: str):
+    """Binary Gmsh v4.1 $Entities/$Nodes/$Elements (the gmsh default output).
+
+    Format reference: gmsh.info/doc/texinfo/gmsh.html#MSH-file-format —
+    binary sections keep the ASCII section markers but store the payload as
+    raw ints (4 B), size_t (``dsize`` B) and doubles (8 B) in file byte
+    order ``bo``.
+    """
+    # $Entities: (dim, entity tag) -> first physical tag
+    ent_phys: dict[tuple[int, int], int] = {}
+    off = _bin_section(data, b"Entities")
+    if off >= 0:
+        r = _BinReader(data, off, dsize, bo)
+        counts = [int(x) for x in r.sizes(4)]  # points curves surf vol
+        for dim, cnt in enumerate(counts):
+            for _ in range(cnt):
+                tag = int(r.ints(1)[0])
+                r.doubles(3 if dim == 0 else 6)  # point xyz | bbox
+                n_phys = int(r.sizes(1)[0])
+                phys = r.ints(n_phys)
+                ent_phys[(dim, tag)] = int(phys[0]) if n_phys else 0
+                if dim > 0:
+                    nb = int(r.sizes(1)[0])  # bounding entities
+                    r.ints(nb)
+
+    off = _bin_section(data, b"Nodes")
+    if off < 0:
+        msg = "binary .msh: no $Nodes section"
+        raise ValueError(msg)
+    r = _BinReader(data, off, dsize, bo)
+    n_blocks, n_nodes, _min_t, max_t = (int(x) for x in r.sizes(4))
+    nodes = np.zeros((n_nodes, 3))
+    tag_to_idx = np.full(max_t + 1, -1, np.int64)
+    pos = 0
+    for _ in range(n_blocks):
+        edim, _etag, parametric = (int(x) for x in r.ints(3))
+        n_in = int(r.sizes(1)[0])
+        tags = r.sizes(n_in).astype(np.int64)
+        coords = r.doubles(3 * n_in).reshape(n_in, 3)
+        if parametric:
+            r.doubles(edim * n_in)  # parametric coords, unused
+        nodes[pos : pos + n_in] = coords
+        tag_to_idx[tags] = np.arange(pos, pos + n_in)
+        pos += n_in
+
+    off = _bin_section(data, b"Elements")
+    if off < 0:
+        msg = "binary .msh: no $Elements section"
+        raise ValueError(msg)
+    r = _BinReader(data, off, dsize, bo)
+    n_blocks, _n_elems, _mn, _mx = (int(x) for x in r.sizes(4))
+    by_type: dict[str, list] = {}
+    tags_by_type: dict[str, list] = {}
+    for _ in range(n_blocks):
+        ent_dim, ent_tag, etype = (int(x) for x in r.ints(3))
+        n_in = int(r.sizes(1)[0])
+        if etype not in _GMSH_TYPES:
+            nn = _GMSH_SKIP_NODES.get(etype)
+            if nn is None:
+                msg = f"binary .msh: unknown element type {etype}"
+                raise ValueError(msg)
+            r.sizes(n_in * (1 + nn))
+            continue
+        name, nn = _GMSH_TYPES[etype]
+        rows = r.sizes(n_in * (1 + nn)).astype(np.int64).reshape(n_in, 1 + nn)
+        conn = tag_to_idx[rows[:, 1:]]
+        phys = ent_phys.get((ent_dim, ent_tag), 0)
+        by_type.setdefault(name, []).extend(conn.tolist())
+        tags_by_type.setdefault(name, []).extend([phys] * n_in)
+    return nodes, by_type, tags_by_type
+
+
+def _read_physical_names_binary(data: bytes) -> dict[tuple[int, int], str]:
+    """$PhysicalNames stays ASCII even inside binary .msh files."""
+    off = _bin_section(data, b"PhysicalNames")
+    if off < 0:
+        return {}
+    end = data.index(b"$EndPhysicalNames", off)
+    lines = data[off:end].decode().strip().splitlines()
+    names: dict[tuple[int, int], str] = {}
+    for ln in lines[1 : 1 + int(lines[0])]:
+        parts = ln.split(maxsplit=2)
+        names[(int(parts[0]), int(parts[1]))] = parts[2].strip().strip('"')
+    return names
+
+
 def read_gmsh(path) -> Mesh:
     """Read an ASCII Gmsh ``.msh`` file (v2.2 or v4.1; highest-dimension
     cells only).
@@ -183,23 +316,40 @@ def read_gmsh(path) -> Mesh:
         mesh = read_gmsh("bar.msh")
         laws = [(steel, mesh.cell_sets["steel"]), (foam, mesh.cell_sets["foam"])]
     """
-    sc = _Scanner(path)
-    if not sc.seek("$MeshFormat"):
+    with open(path, "rb") as f:
+        data = f.read()
+    j = data.find(b"$MeshFormat")
+    if j < 0:
         msg = f"{path}: not a Gmsh .msh file (no $MeshFormat)"
         raise ValueError(msg)
-    fmt = sc.line().split()
-    version, is_binary = fmt[0], int(fmt[1])
+    hdr_start = data.index(b"\n", j) + 1
+    hdr_end = data.index(b"\n", hdr_start)
+    fmt = data[hdr_start:hdr_end].split()
+    version, is_binary, dsize = fmt[0].decode(), int(fmt[1]), int(fmt[2])
     if is_binary:
-        msg = f"{path}: binary .msh not supported (re-export as ASCII)"
-        raise ValueError(msg)
-    names = _read_physical_names(_Scanner(path))
-    if version.startswith("2"):
-        nodes, by_type, tags_by_type = _read_gmsh_v22(_Scanner(path))
-    elif version.startswith("4"):
-        nodes, by_type, tags_by_type = _read_gmsh_v41(_Scanner(path))
+        # gmsh writes binary v4.1 by default ("gmsh -3 x.geo"); v2.2 binary
+        # is legacy-only and not supported here
+        if not version.startswith("4"):
+            msg = (
+                f"{path}: binary .msh v{version} not supported "
+                "(use binary v4.1 or any ASCII version)"
+            )
+            raise ValueError(msg)
+        # endianness probe: the binary int 1 follows the format line
+        one_le = int.from_bytes(data[hdr_end + 1 : hdr_end + 5], "little")
+        bo = "<" if one_le == 1 else ">"
+        names = _read_physical_names_binary(data)
+        nodes, by_type, tags_by_type = _read_gmsh_v41_binary(data, dsize, bo)
     else:
-        msg = f"{path}: unsupported .msh version {version} (use 2.2 or 4.1)"
-        raise ValueError(msg)
+        text = data.decode()
+        names = _read_physical_names(_Scanner(text=text))
+        if version.startswith("2"):
+            nodes, by_type, tags_by_type = _read_gmsh_v22(_Scanner(text=text))
+        elif version.startswith("4"):
+            nodes, by_type, tags_by_type = _read_gmsh_v41(_Scanner(text=text))
+        else:
+            msg = f"{path}: unsupported .msh version {version} (use 2.2 or 4.1)"
+            raise ValueError(msg)
 
     cell_type = max(by_type, key=lambda t: _DIM_RANK[t])
     perm = _FROM_GMSH_PERM[cell_type]
@@ -235,18 +385,7 @@ def write_gmsh(path, mesh: Mesh) -> None:
     """
     inv = np.argsort(_FROM_GMSH_PERM[mesh.cell_type])
     etype = _GMSH_IDS[mesh.cell_type]
-    tags = np.zeros(mesh.num_cells, np.int64)
-    names: dict[int, str] = {}
-    if mesh.cell_sets:
-        for key, idx in mesh.cell_sets.items():
-            if isinstance(key, int):
-                tags[np.asarray(idx)] = key
-        for key, idx in mesh.cell_sets.items():
-            if isinstance(key, str):
-                for ik, iidx in mesh.cell_sets.items():
-                    if isinstance(ik, int) and np.array_equal(iidx, idx):
-                        names[ik] = key
-                        break
+    tags, names = _cell_tags_and_names(mesh)
     dim = _DIM_RANK[mesh.cell_type]
     with open(path, "w") as f:
         f.write("$MeshFormat\n2.2 0 8\n$EndMeshFormat\n")
@@ -265,6 +404,99 @@ def write_gmsh(path, mesh: Mesh) -> None:
             conn = " ".join(str(int(c[j]) + 1) for j in inv)
             f.write(f"{k + 1} {etype} 2 {tags[k]} 0 {conn}\n")
         f.write("$EndElements\n")
+
+
+def _cell_tags_and_names(mesh: Mesh) -> tuple[np.ndarray, dict[int, str]]:
+    """Per-cell physical tags + id -> name map from ``mesh.cell_sets``."""
+    tags = np.zeros(mesh.num_cells, np.int64)
+    names: dict[int, str] = {}
+    if mesh.cell_sets:
+        for key, idx in mesh.cell_sets.items():
+            if isinstance(key, int):
+                tags[np.asarray(idx)] = key
+        for key, idx in mesh.cell_sets.items():
+            if isinstance(key, str):
+                for ik, iidx in mesh.cell_sets.items():
+                    if isinstance(ik, int) and np.array_equal(iidx, idx):
+                        names[ik] = key
+                        break
+    return tags, names
+
+
+def write_gmsh41_binary(path, mesh: Mesh) -> None:
+    """Write a BINARY Gmsh v4.1 ``.msh`` file (gmsh's default output format).
+
+    One entity per physical tag (``mesh.cell_sets`` int keys; untagged cells
+    go to a physical-free entity), one node block, one element block per
+    entity — the same structure ``read_gmsh`` parses back, so physical
+    groups and names round-trip.
+    """
+    import struct
+
+    dim = _DIM_RANK[mesh.cell_type]
+    etype = _GMSH_IDS[mesh.cell_type]
+    inv = np.argsort(_FROM_GMSH_PERM[mesh.cell_type])
+    tags, names = _cell_tags_and_names(mesh)
+
+    def sz(*vals):  # size_t = 8 bytes little-endian
+        return struct.pack(f"<{len(vals)}Q", *vals)
+
+    def i4(*vals):
+        return struct.pack(f"<{len(vals)}i", *vals)
+
+    pts3 = np.zeros((mesh.num_nodes, 3))
+    pts3[:, : mesh.gdim] = mesh.nodes
+    lo, hi = pts3.min(axis=0), pts3.max(axis=0)
+
+    ent_tags = sorted({int(t) for t in np.unique(tags)})
+    with open(path, "wb") as f:
+        f.write(b"$MeshFormat\n4.1 1 8\n")
+        f.write(struct.pack("<i", 1))
+        f.write(b"\n$EndMeshFormat\n")
+        if names:
+            f.write(f"$PhysicalNames\n{len(names)}\n".encode())
+            for ik, nm in sorted(names.items()):
+                f.write(f'{dim} {ik} "{nm}"\n'.encode())
+            f.write(b"$EndPhysicalNames\n")
+
+        # one entity of the cell dimension per physical tag (counts are
+        # numPoints numCurves numSurfaces numVolumes)
+        counts = [0, 0, 0, 0]
+        counts[dim] = len(ent_tags)
+        f.write(b"$Entities\n")
+        f.write(sz(*counts))
+        for t in ent_tags:
+            f.write(i4(t if t != 0 else len(ent_tags) + 1))
+            f.write(struct.pack("<6d", *lo, *hi))
+            if t != 0:
+                f.write(sz(1))
+                f.write(i4(t))
+            else:
+                f.write(sz(0))
+            f.write(sz(0))  # no bounding entities
+        f.write(b"\n$EndEntities\n")
+
+        f.write(b"$Nodes\n")
+        f.write(sz(1, mesh.num_nodes, 1, mesh.num_nodes))
+        ent0 = ent_tags[0] if ent_tags[0] != 0 else len(ent_tags) + 1
+        f.write(i4(dim, ent0, 0))
+        f.write(sz(mesh.num_nodes))
+        f.write(np.arange(1, mesh.num_nodes + 1, dtype="<u8").tobytes())
+        f.write(pts3.astype("<f8").tobytes())
+        f.write(b"\n$EndNodes\n")
+
+        f.write(b"$Elements\n")
+        f.write(sz(len(ent_tags), mesh.num_cells, 1, mesh.num_cells))
+        conn_g = mesh.cells[:, inv].astype(np.int64) + 1
+        for t in ent_tags:
+            idx = np.nonzero(tags == t)[0]
+            f.write(i4(dim, t if t != 0 else len(ent_tags) + 1, etype))
+            f.write(sz(len(idx)))
+            rows = np.empty((len(idx), 1 + conn_g.shape[1]), "<u8")
+            rows[:, 0] = idx + 1  # element tags (values unused on read)
+            rows[:, 1:] = conn_g[idx]
+            f.write(rows.tobytes())
+        f.write(b"\n$EndElements\n")
 
 
 # --- VTU (VTK XML UnstructuredGrid) ------------------------------------------

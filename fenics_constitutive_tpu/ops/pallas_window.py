@@ -53,11 +53,14 @@ def _pad_u3(ex, u2: jnp.ndarray) -> jnp.ndarray:
 def _check_mosaic(ex, interpret: bool) -> None:
     # Mosaic: the last two dims of every VMEM block must be divisible by
     # (8, 128) or equal the array dims. u3 blocks are (K, T/W2, W2).
-    if not interpret:
-        assert ex.pallas_ok, (
+    # ValueError, not assert: asserts vanish under ``python -O`` and the
+    # Mosaic lowering error a direct caller would hit instead is opaque.
+    if not interpret and not ex.pallas_ok:
+        msg = (
             f"windowed Pallas kernels need tile % (8 * w2) == 0; got "
             f"T={ex.T}, W2={ex.W2} (use tile=1024 or the XLA ref path)"
         )
+        raise ValueError(msg)
 
 
 def windowed_gather(ex, u2: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarray:

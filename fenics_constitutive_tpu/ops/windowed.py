@@ -290,6 +290,19 @@ def build_windowed_exchange(
     T = int(tile)
     W2 = int(w2)
     assert T % W2 == 0, "tile must be a multiple of w2"
+    if T % (8 * W2) != 0 and _use_pallas(jnp.float32):
+        # the plan will silently run through the scalarized-gather XLA
+        # reference path on TPU — the ~54 ns/row tax this engine exists to
+        # avoid; say so once at build time rather than per dispatch
+        import warnings
+
+        warnings.warn(
+            f"windowed exchange: tile={T} is not a multiple of 8*w2={8 * W2};"
+            " the Pallas TPU kernels are disabled for this plan and"
+            " gather/scatter fall back to the slow XLA reference path."
+            " Use tile % (8*w2) == 0 (e.g. tile=1024) for the fast kernels.",
+            stacklevel=2,
+        )
 
     if perm is None:
         perm = reverse_cuthill_mckee(cell_nodes, n_nodes)

@@ -24,6 +24,7 @@ Like the geometric V-cycle, the result is a linear, SPD-preserving callable
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 import numpy as np
@@ -555,7 +556,10 @@ class WindowedAmgPreconditioner:
     P_win: tuple
     R_win: tuple
     dinv_int: tuple
-    coarse_inv: jnp.ndarray  # dense inverse in the coarsest internal layout
+    coarse_inv: jnp.ndarray  # COMPACT dense inverse [bsc*nc, bsc*nc]
+    nc: int  # true coarse node count
+    bsc: int  # coarse block size (dofs per node)
+    NPc: int  # padded coarse node count (internal vector granule)
     perm_dev: jnp.ndarray  # fine nodes: old -> new
     invperm_dev: jnp.ndarray
     omega: float
@@ -567,7 +571,14 @@ class WindowedAmgPreconditioner:
 
     def _cycle(self, lvl: int, b):
         if lvl == self.n_levels - 1:
-            return self.coarse_inv @ b
+            # compact dense solve: slice the real coarse dofs out of the
+            # tile-padded internal vector, apply, pad the result back
+            b2 = b.reshape(self.bsc, self.NPc)[:, : self.nc].reshape(-1)
+            x2 = self.coarse_inv @ b2
+            out = jnp.zeros((self.bsc, self.NPc), b.dtype)
+            return out.at[:, : self.nc].set(
+                x2.reshape(self.bsc, self.nc)
+            ).reshape(-1)
         A = self.A_win[lvl]
         di = self.dinv_int[lvl]
         x = self.omega * di * b
@@ -623,7 +634,8 @@ jax.tree_util.register_dataclass(
     WindowedAmgPreconditioner,
     data_fields=["A_win", "P_win", "R_win", "dinv_int", "coarse_inv",
                  "perm_dev", "invperm_dev"],
-    meta_fields=["omega", "nu", "n_levels", "vs", "n_nodes0", "NP0"],
+    meta_fields=["nc", "bsc", "NPc", "omega", "nu", "n_levels", "vs",
+                 "n_nodes0", "NP0"],
 )
 
 
@@ -655,8 +667,8 @@ def _freeze_windowed(
     T_r = 512
     n_nodes = [A.shape[0] // bs for A, bs in zip(A_levels, bs_levels)]
     # levels are both row AND col spaces of the inter-level operators, so
-    # pad to lcm(T_r, column granule) = the 1024-node Mosaic granule
-    NP = [_round_up(n, max(T_r, _GRAN)) for n in n_nodes]
+    # pad to a common multiple of the row tile and the column granule
+    NP = [_round_up(n, math.lcm(T_r, _GRAN)) for n in n_nodes]
 
     A_win = tuple(
         build_windowed_bsr(
@@ -692,18 +704,21 @@ def _freeze_windowed(
         full[:, : n_nodes[l]] = di[:, inv]
         dinv_int.append(jnp.asarray(full.reshape(-1), dtype))
 
-    # dense coarsest inverse, re-indexed into the internal layout
+    # dense coarsest inverse, COMPACT: comp-major over the level-lc node
+    # permutation at the natural coarse size (bsc*nc)^2 — NOT embedded in the
+    # NP[lc]-padded internal space, which would square the tile padding
+    # (e.g. bsc=6, NP=1024 -> a 6144^2 matrix for a few hundred real dofs).
+    # _cycle slices/pads the coarse vectors around the dense solve instead.
     lc = n_levels - 1
     nc, bsc = n_nodes[lc], bs_levels[lc]
     Cnat = np.asarray(coarse_inv, np.float64)
-    i_int = (
-        perms[lc][np.arange(nc)][None, :]
-        + (np.arange(bsc) * NP[lc])[:, None]
-    ).reshape(-1)  # natural dof (node, comp) -> internal index, comp-major
+    i_cmp = (
+        perms[lc][np.arange(nc)][None, :] + (np.arange(bsc) * nc)[:, None]
+    ).reshape(-1)  # natural dof (node, comp) -> compact index, comp-major
     # natural dof order is node-major: dof = node*bsc + comp
     nat = (np.arange(nc)[None, :] * bsc + np.arange(bsc)[:, None]).reshape(-1)
-    Cint = np.zeros((bsc * NP[lc], bsc * NP[lc]))
-    Cint[np.ix_(i_int, i_int)] = Cnat[np.ix_(nat, nat)]
+    Ccmp = np.zeros((bsc * nc, bsc * nc))
+    Ccmp[np.ix_(i_cmp, i_cmp)] = Cnat[np.ix_(nat, nat)]
     del dinv_jnp
 
     return WindowedAmgPreconditioner(
@@ -711,7 +726,10 @@ def _freeze_windowed(
         P_win=P_win,
         R_win=R_win,
         dinv_int=tuple(dinv_int),
-        coarse_inv=jnp.asarray(Cint, dtype),
+        coarse_inv=jnp.asarray(Ccmp, dtype),
+        nc=nc,
+        bsc=bsc,
+        NPc=NP[lc],
         perm_dev=jnp.asarray(perms[0], jnp.int32),
         invperm_dev=jnp.asarray(np.argsort(perms[0]), jnp.int32),
         omega=float(omega),

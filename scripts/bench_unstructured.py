@@ -16,10 +16,9 @@ metadata, no banded numbering (read_gmsh path, fem/io.py).
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_unstructured.py [n]
 Env: BENCH_TILE (default 1024), FIXED (cg_fixed_iters), GATHER=1, STEPS,
-PRECISION (matmul_precision override; unset = the product default, which is
-"highest" for windowed f32 — the TPU's default-bf16 einsum precision
-perturbs the CG operator enough to stall the outer Newton at r/r0 ~1e-2;
-PRECISION=default forces the bf16 path to reproduce that).
+PRECISION (matmul_precision override; unset = no override — the windowed
+engine is precision-insensitive after the VPU unroll of its tiny-dim
+contractions, and the Pallas exchange kernels pin HIGHEST internally).
 """
 
 from __future__ import annotations

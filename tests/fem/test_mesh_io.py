@@ -181,3 +181,59 @@ $EndElements
     assert abs(s[0] - s[1]) < 1e-10 / abs(s[0])  # homogeneous stress
     assert g[0][0] != 0.0
     assert abs(g[0][0] - factor * g[1][0]) < 1e-10 / abs(g[0][0])
+
+
+@pytest.mark.parametrize("cell_type", ["tetra", "hex", "triangle"])
+def test_gmsh_binary_v41_roundtrip(tmp_path, cell_type):
+    """BINARY v4.1 (gmsh's default output): nodes/cells round-trip."""
+    from fenics_constitutive_tpu.fem.io import write_gmsh41_binary
+    from fenics_constitutive_tpu.fem import unit_square_mesh
+
+    if cell_type == "triangle":
+        mesh = unit_square_mesh(3, 2, "triangle")
+    else:
+        mesh = unit_cube_mesh(2, 3, 2, cell_type)
+    path = tmp_path / "bin.msh"
+    write_gmsh41_binary(path, mesh)
+    # sanity: the file really is binary (undecodable payload after header)
+    raw = open(path, "rb").read()
+    assert b"4.1 1 8" in raw
+    mesh2 = read_gmsh(path)
+    assert mesh2.cell_type == cell_type
+    np.testing.assert_allclose(mesh2.nodes, mesh.nodes, atol=1e-14)
+    np.testing.assert_array_equal(mesh2.cells, mesh.cells)
+
+
+def test_gmsh_binary_v41_cell_sets(tmp_path):
+    """Physical groups + $PhysicalNames survive the binary round-trip."""
+    from dataclasses import replace
+
+    from fenics_constitutive_tpu.fem.io import write_gmsh41_binary
+
+    mesh = unit_cube_mesh(2, 2, 2, "tetra")
+    mids = mesh.cell_midpoints()
+    left = np.nonzero(mids[:, 0] < 0.5)[0].astype(np.int32)
+    right = np.nonzero(mids[:, 0] >= 0.5)[0].astype(np.int32)
+    mesh = replace(
+        mesh, cell_sets={1: left, 2: right, "soft": left, "stiff": right}
+    )
+    path = tmp_path / "tagged_bin.msh"
+    write_gmsh41_binary(path, mesh)
+    mesh2 = read_gmsh(path)
+    assert set(mesh2.cell_sets) == {1, 2, "soft", "stiff"}
+    np.testing.assert_array_equal(mesh2.cell_sets[1], left)
+    np.testing.assert_array_equal(mesh2.cell_sets["stiff"], right)
+    np.testing.assert_array_equal(mesh2.cells, mesh.cells)
+
+
+def test_gmsh_binary_ascii_agree(tmp_path):
+    """The binary and ASCII writers produce identical meshes on read."""
+    from fenics_constitutive_tpu.fem.io import write_gmsh41_binary
+
+    mesh = unit_cube_mesh(3, 2, 2, "hex")
+    pa, pb = tmp_path / "a.msh", tmp_path / "b.msh"
+    write_gmsh(pa, mesh)
+    write_gmsh41_binary(pb, mesh)
+    ma, mb = read_gmsh(pa), read_gmsh(pb)
+    np.testing.assert_allclose(ma.nodes, mb.nodes, atol=1e-14)
+    np.testing.assert_array_equal(ma.cells, mb.cells)
