@@ -5,15 +5,24 @@ The gather/scatter between node rows ``[K, M]`` and cell-local rows
 node window:
 
   gather:  out[k, r] = u_win[k, hi[r], lo[r]]
-         = sum_lo ( sum_hi u3[k, hi, lo] * mask_hi[hi, r] ) * mask_lo[lo, r]
+         = sum_hi ( sum_lo u3[k, hi, lo] * mask_lo[lo, r] ) * mask_hi[hi, r]
 
-with ``mask_hi`` a [W1, R] one-hot over window sub-tiles (MXU contraction)
-and ``mask_lo`` a [W2, R] one-hot over lanes (VPU multiply-sum). The scatter
-is the transpose contraction. Both masks are exact 0/1 values and each output
-element receives exactly one nonzero term per level, so with HIGHEST matmul
-precision the select is numerically exact (the operand passes reconstruct the
-f32 value bit-exactly; pinned against the XLA reference in
-tests/ops/test_windowed.py).
+The MXU level contracts over the LANE axis ``W2 = 128`` (a native MXU
+contraction width) with the stacked ``[K * W1, W2]`` window as the other
+operand, and the remaining ``W1``-term select runs as a VPU multiply-sum.
+The scatter is the transpose contraction with the same orientation
+(``mask_lo [W2, RT]`` against ``[W1 * K, RT]`` masked cell rows).
+
+Exactness without the 6-pass f32 tax: the masks are exact 0/1 in bfloat16,
+and the f32 VALUES are split into an exact 3-term bfloat16 decomposition
+(24 mantissa bits = 3 x 8; `_split3`), so three native bf16 MXU passes with
+f32 accumulation reconstruct every selected f32 value bit-exactly — each
+output element receives exactly one nonzero product per pass. This is 2x
+fewer passes than HIGHEST and runs at native bf16 MXU rate (pinned against
+the XLA reference in tests/ops/test_windowed.py and on-chip by
+scripts/check_windowed_tpu.py). Sub-2^-133 magnitudes lose bits to bf16
+subnormal granularity — physically-zero territory for displacement/residual
+fields.
 
 All mask tensors live only in VMEM: HBM traffic is indices + node values +
 cell values. The window of block ``b`` starts at node ``b*T``, so the input
@@ -32,7 +41,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["windowed_gather", "windowed_scatter"]
 
-_HI = jax.lax.Precision.HIGHEST
+
+def _split3(x: jnp.ndarray):
+    """Exact 3-term bf16 decomposition of f32: x == h1 + h2 + h3.
+
+    Round-to-nearest bf16 leaves a residual with >= 8 fewer significant
+    bits; two rounds cover all 24 f32 mantissa bits. Each partial sum is
+    representable in f32, so summing the three one-hot dot results in f32
+    reconstructs x exactly (for |x| >= ~2^-130; below that bf16 subnormal
+    granularity drops ulps).
+    """
+    h1 = x.astype(jnp.bfloat16)
+    r1 = x - h1.astype(jnp.float32)
+    h2 = r1.astype(jnp.bfloat16)
+    h3 = (r1 - h2.astype(jnp.float32)).astype(jnp.bfloat16)
+    return h1, h2, h3
 
 
 def _row_tile(Rn: int) -> int:
@@ -77,27 +100,31 @@ def windowed_gather(ex, u2: jnp.ndarray, *, interpret: bool = False) -> jnp.ndar
         u_refs, out_ref = refs[:-1], refs[-1]
         loc = loc_ref[0]  # [1, RT] int32
         hi = loc // W2  # -1 -> -1 (no mask_hi match: pads read 0)
-        lo = loc % W2
+        lo = loc % W2  # -1 -> 127: harmless, the hi level zeroes it
         u_win = jnp.concatenate([r[:, :, :] for r in u_refs], axis=1)
-        # [K, W1, W2]
-        mask_hi = (
-            jax.lax.broadcasted_iota(jnp.int32, (W1, RT), 0) == hi
-        ).astype(u_win.dtype)
+        # [K, W1, W2] -> stacked [K * W1, W2]: one bf16 dot per split term,
+        # MXU-contracting over the native 128-lane axis
+        uf = u_win.reshape(K * W1, W2)
         mask_lo = (
             jax.lax.broadcasted_iota(jnp.int32, (W2, RT), 0) == lo
-        ).astype(u_win.dtype)
-        # static K-loop of plain 2D dots (K = vs <= 3): Mosaic's best-
-        # supported dot_general shape; the MXU contraction is over W1
-        rows = []
-        for k in range(K):
-            s1_k = jax.lax.dot_general(
-                u_win[k], mask_hi,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=u_win.dtype,
-                precision=_HI,
-            )  # [W2, RT]
-            rows.append((s1_k * mask_lo).sum(axis=0))  # [RT]
-        out_ref[0] = jnp.stack(rows, axis=0)
+        ).astype(jnp.bfloat16)  # exact 0/1
+        tmp = None
+        for h in _split3(uf):
+            d = jax.lax.dot_general(
+                h, mask_lo,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [K * W1, RT]
+            tmp = d if tmp is None else tmp + d
+        # remaining W1-way select: VPU multiply-sum (exact f32)
+        mask_hi = (
+            jax.lax.broadcasted_iota(jnp.int32, (W1, RT), 0) == hi
+        ).astype(jnp.float32)
+        rows = [
+            (tmp[k * W1 : (k + 1) * W1] * mask_hi).sum(axis=0)
+            for k in range(K)
+        ]
+        out_ref[0] = jnp.stack(rows, axis=0).astype(out_ref.dtype)
 
     in_specs = [
         pl.BlockSpec(
@@ -136,28 +163,34 @@ def windowed_scatter(ex, f: jnp.ndarray, *, interpret: bool = False) -> jnp.ndar
     def kernel(loc_ref, f_ref, out_ref):
         j = pl.program_id(1)
         loc = loc_ref[0]  # [1, RT]
-        hi = loc // W2
+        hi = loc // W2  # -1 -> -1: padded rows match no mask_hi slot
         lo = loc % W2
-        valid = (loc >= 0).astype(f_ref.dtype)  # kill padded rows exactly
         mask_lo = (
             jax.lax.broadcasted_iota(jnp.int32, (W2, RT), 0) == lo
-        ).astype(f_ref.dtype) * valid
+        ).astype(jnp.bfloat16)  # exact 0/1 (pads masked via mask_hi below)
         mask_hi = (
             jax.lax.broadcasted_iota(jnp.int32, (W1, RT), 0) == hi
-        ).astype(f_ref.dtype)
-        # static K-loop of plain 2D dots (see windowed_gather)
-        parts = []
-        for k in range(K):
-            tmp_k = f_ref[0, k][None, :] * mask_lo  # [W2, RT]
-            parts.append(
-                jax.lax.dot_general(
-                    mask_hi, tmp_k,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=f_ref.dtype,
-                    precision=_HI,
-                )  # [W1, W2]
-            )
-        part = jnp.stack(parts, axis=1)  # [W1, K, W2]
+        ).astype(jnp.bfloat16)
+        # rhs[k * W1 + hi, r] = f[k, r] * mask_hi[hi, r]; padded rows -> 0.
+        # ONE MXU contraction over RT against mask_lo: output [W2, K * W1]
+        # (M = 128 native). The 3-term split runs on the SMALL [K, RT] value
+        # rows; multiplying each bf16 term by the exact-0/1 bf16 mask is
+        # exact (the product IS the term or zero). K-MAJOR row stacking:
+        # each [W1, RT] block stays 8-sublane-aligned (W1 = 8 * P), so the
+        # concat is tile stacking, not a cross-sublane interleave.
+        fm = f_ref[0]  # [K, RT]
+        part = None
+        for fh in _split3(fm):
+            rhs = jnp.concatenate(
+                [fh[k][None, :] * mask_hi for k in range(K)], axis=0
+            )  # [K * W1, RT] bf16
+            d = jax.lax.dot_general(
+                mask_lo, rhs,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [W2, K * W1]
+            part = d if part is None else part + d
+        part = part.astype(out_ref.dtype)
 
         @pl.when(j == 0)
         def _():
@@ -179,17 +212,20 @@ def windowed_scatter(ex, f: jnp.ndarray, *, interpret: bool = False) -> jnp.ndar
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, W1, K, W2), lambda b, j: (b, 0, 0, 0), memory_space=pltpu.VMEM
+            (1, W2, K * W1), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((B, W1, K, W2), f.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, W2, K * W1), f.dtype),
         interpret=interpret,
     )(loc3, f)
 
     # combine the per-block window partials: window b covers node tiles
-    # [b, b+P) — a static shift-and-add over P (deterministic, no scatter)
-    part5 = jnp.transpose(parts, (2, 0, 1, 3)).reshape(
-        K, B, ex.P, TT, W2
-    )  # [K, B, P, TT, W2]
+    # [b, b+P) — a static shift-and-add over P (deterministic, no scatter).
+    # parts [B, W2(lo), K * W1] -> [K, B, P, TT, W2]
+    part5 = (
+        parts.reshape(B, W2, K, W1)
+        .transpose(2, 0, 3, 1)
+        .reshape(K, B, ex.P, TT, W2)
+    )
     acc = jnp.zeros((K, B + ex.P - 1, TT, W2), f.dtype)
     for p in range(ex.P):
         acc = acc.at[:, p : p + B].add(part5[:, :, p])
@@ -221,27 +257,36 @@ def windowed_bsr_matvec(w, x: jnp.ndarray, *, interpret: bool = False) -> jnp.nd
         x_refs, y_ref = refs[:-1], refs[-1]
         a = pl.program_id(1)
         x_win = jnp.concatenate([r[:, 0] for r in x_refs], axis=1)
-        # [bc, WS, W2]
+        # [bc, WS, W2] -> stacked [bc * WS, W2]: bf16 3-split MXU dots over
+        # the native 128-lane axis, then a WS-way VPU select (see
+        # windowed_gather; exact for the same reason)
         dtype = x_win.dtype
         l = loc_ref[0, 0]  # [1, T_r]
         hi = l // W2
         lo = l % W2
+        mask_lo = (
+            jax.lax.broadcasted_iota(jnp.int32, (W2, T_r), 0) == lo
+        ).astype(jnp.bfloat16)
+        xf = x_win.reshape(bc * WS, W2)
+        tmp = None
+        for h in _split3(xf):
+            d = jax.lax.dot_general(
+                h, mask_lo,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [bc * WS, T_r]
+            tmp = d if tmp is None else tmp + d
+        tmp = tmp.astype(dtype)
         mask_hi = (
             jax.lax.broadcasted_iota(jnp.int32, (WS, T_r), 0) == hi
         ).astype(dtype)
-        mask_lo = (
-            jax.lax.broadcasted_iota(jnp.int32, (W2, T_r), 0) == lo
-        ).astype(dtype)
-        sels = []
-        for jc in range(bc):
-            s1 = jax.lax.dot_general(
-                x_win[jc], mask_hi,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=dtype,
-                precision=_HI,
-            )  # [W2, T_r]
-            sels.append((s1 * mask_lo).sum(axis=0, keepdims=True))
-        sel = jnp.concatenate(sels, axis=0)  # [bc, T_r]
+        sel = jnp.stack(
+            [
+                (tmp[jc * WS : (jc + 1) * WS] * mask_hi).sum(axis=0)
+                for jc in range(bc)
+            ],
+            axis=0,
+        )  # [bc, T_r]
         vblk = vals_ref[0, 0]  # [br * bc, T_r]
         contrib = (vblk.reshape(br, bc, T_r) * sel[None]).sum(axis=1)
 
