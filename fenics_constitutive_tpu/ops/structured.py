@@ -459,7 +459,7 @@ def build_structured_geometry(
     data_fields=["KEPS_c", "KDIV_c", "w"],
     meta_fields=[
         "grid", "degree", "lattice", "vs", "ndofs", "constraint",
-        "n_nodes", "n_qp", "n_cells", "dN_host",
+        "n_nodes", "n_qp", "n_cells", "dN_host", "conv_precision",
     ],
 )
 @dataclass(frozen=True)
@@ -492,6 +492,15 @@ class LatticeGeometry:
     n_qp: int
     n_cells: int
     dN_host: tuple  # [n][g][Q] nested tuples (physical-gradient tables)
+    # MXU precision for the strain/residual convs ONLY (r5). The TPU default
+    # computes f32 convs with bf16 multiplies (eps ~8e-3): the CG OPERATOR
+    # then floors the true residual at ~eps_bf16 x cond (measured r/r0
+    # 1.6e-4 on 32^3 P2, scripts/ab_p2_precision.py). Pinning the two convs
+    # to HIGHEST restores r/r0 ~4e-7 WITHOUT the global 1.9x
+    # matmul_precision="highest" tax the r3 fix paid — the V-cycle is a
+    # preconditioner (flexible CG absorbs its bf16 error) and the model eval
+    # is elementwise, so neither needs the multi-pass rate.
+    conv_precision: str = "highest"
 
     @property
     def gdim(self) -> int:
@@ -592,6 +601,7 @@ class LatticeGeometry:
             padding="VALID",
             dimension_numbers=self._dimnums(),
             preferred_element_type=g.dtype,
+            precision=self.conv_precision,
         )
         return out.reshape(self.sdim, self.n_qp, self.n_cells)
 
@@ -607,6 +617,7 @@ class LatticeGeometry:
             dimension_numbers=self._dimnums(),
             transpose_kernel=True,
             preferred_element_type=g.dtype,
+            precision=self.conv_precision,
         )
         return out.reshape(-1)
 

@@ -103,7 +103,8 @@ def main():
         dt_ms = (time.perf_counter() - t0) * 1e3
         best = min(best, dt_ms)
         print(f"  step: {dt_ms:8.1f} ms  niter={int(stats['newton_iters'])} "
-              f"cg_last={int(stats['cg_iters_last'])} r={float(stats['r_norm']):.2e}")
+              f"cg_last={int(stats['cg_iters_last'])} r={float(stats['r_norm']):.2e} "
+              f"r/r0={float(stats['r_norm']) / max(float(stats['r0_norm']), 1e-30):.2e}")
     per_qp = best / geos[0].N * 1e6
     print(f"best converged P2 step: {best:.1f} ms  ({per_qp:.1f} ns/QP)")
 

@@ -18,7 +18,13 @@ Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_unstructured.py
 Env: BENCH_TILE (default 1024), FIXED (cg_fixed_iters), GATHER=1, STEPS,
 PRECISION (matmul_precision override; unset = no override — the windowed
 engine is precision-insensitive after the VPU unroll of its tiny-dim
-contractions, and the Pallas exchange kernels pin HIGHEST internally).
+contractions, and the Pallas exchange kernels reconstruct exact f32 via the
+3-term bf16 split internally), MODE=bench (headline protocol: max_newton=1
+steps on a +0.05-scale plastic ramp with fixed-count CG + windowed AMG,
+single-step dispatches, in-run deep-CG self-verification like bench.py;
+emits ONE JSON line and writes BENCH_UNSTRUCTURED.json), PC (bench-mode
+preconditioner: amg | jacobi, default amg), VERIFY_ITERS (deep reference
+count, default 3x FIXED).
 """
 
 from __future__ import annotations
@@ -77,6 +83,9 @@ def timeit(name, fn, *args, reps=4):
 
 
 def main() -> None:
+    if os.environ.get("CPU") == "1":  # smoke-testing off-chip: the ambient
+        # sitecustomize pins the axon backend and IGNORES JAX_PLATFORMS env
+        jax.config.update("jax_platforms", "cpu")
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 35
     tile = int(os.environ.get("BENCH_TILE", "1024"))
     fixed = os.environ.get("FIXED")
@@ -99,15 +108,21 @@ def main() -> None:
     ]
 
     t0 = time.time()
-    import fenics_constitutive_tpu.ops.windowed as winmod
-
+    bench_mode = os.environ.get("MODE") == "bench"
     sim = PackedSimulation(
         VonMises3D(MAT), V, bcs, 2, engine="windowed",
         dtype=jnp.float32,
-        newton_rtol=1e-6, newton_atol=1e-3,
-        cg_rtol=1e-5, cg_maxiter=2000,
+        newton_rtol=0.0 if bench_mode else 1e-6,
+        newton_atol=0.0 if bench_mode else 1e-3,
+        max_newton=1 if bench_mode else 25,
+        cg_rtol=1e-5, cg_maxiter=500 if bench_mode else 2000,
         cg_fixed_iters=int(fixed) if fixed else None,
         matmul_precision=os.environ.get("PRECISION"),
+        preconditioner=(
+            {"amg": "amg", "jacobi": None}[os.environ.get("PC", "amg")]
+            if bench_mode
+            else None
+        ),
     )
     geo = sim._geos[0]
     ex = geo.ex
@@ -119,10 +134,13 @@ def main() -> None:
     )
 
     # --- primitives ---------------------------------------------------------
-    if os.environ.get("PRIMS", "1") != "0":
+    if os.environ.get("PRIMS", "1" if not bench_mode else "0") != "0":
         _primitives(geo, ex)
 
-    _steps(sim, bc_move, geo)
+    if bench_mode:
+        _bench_protocol(sim, bcs, geo)
+    else:
+        _steps(sim, bc_move, geo)
 
     if os.environ.get("GATHER") == "1":
         _gather_engine(V, bcs, bc_move)
@@ -149,6 +167,115 @@ def _primitives(geo, ex) -> None:
         n=jnp.zeros((6, geo.N), jnp.float32),
     )
     timeit("matvec (full CG iteration core)", jax.jit(lambda v: geo.matvec(v, tg)), ui)
+
+
+def _bench_protocol(sim, bcs, geo) -> None:
+    """Headline unstructured bench (VERDICT r4 #1): one converged Newton
+    step on a real plastic ramp, self-verified against an in-run deep-CG
+    reference (bench.py protocol), single-step dispatches (the windowed
+    step is a short dispatch; lax.scan chaining is not needed and the
+    gather+AMG scan fault never applies here)."""
+    import json
+
+    from fenics_constitutive_tpu.fem.bcs import combine_bcs
+    from fenics_constitutive_tpu.solver.amg import WindowedAmgPreconditioner
+    from fenics_constitutive_tpu.solver.packed_step import make_packed_step
+
+    fixed = int(os.environ.get("FIXED", "12"))
+    verify_iters = int(os.environ.get("VERIFY_ITERS", str(3 * fixed)))
+    models = sim._models
+    operands = sim._operands  # (geos, pc) on the windowed non-structured path
+    assert len(operands) == 2, "bench protocol expects the (geos, pc) branch"
+
+    # the moving face: 0.004 * scale, like bench.py's ramp
+    bcs[1].value = 0.004  # bc_move (main() builds it second)
+    bc_dofs, bc_vals = combine_bcs(bcs)
+    dtype = sim.state.u.dtype
+    bcd = jnp.asarray(bc_dofs)
+    bcv = jnp.asarray(bc_vals, dtype)
+    f0 = jnp.zeros(sim.space.ndofs, dtype)
+    dt = jnp.asarray(1.0, dtype)
+
+    def make_step(fk):
+        def step(models_, st, scale, geos_a, pc_a):
+            pc_call = pc_a
+            if isinstance(pc_a, WindowedAmgPreconditioner):
+                pc_call = pc_a.wrap_internal(geos_a[0].ex.M_pad)
+                pc_call.internal_layout = True
+            inner = make_packed_step(
+                geos_a, max_newton=1, newton_rtol=0.0, newton_atol=0.0,
+                cg_rtol=1e-5, cg_maxiter=500, preconditioner=pc_call,
+                cg_fixed_iters=fk,
+            )
+            return inner(models_, st, bcd, bcv * scale, f0, dt)
+
+        return jax.jit(step)
+
+    jitted = make_step(fixed)
+    st = sim.state
+    for k in (0.5, 1.0, 1.5, 2.0):  # compile + drive past yield
+        st, _ = jitted(models, st, jnp.asarray(k, dtype), *operands)
+    jax.block_until_ready(st.u)
+    st0 = st
+
+    K = int(os.environ.get("STEPS", "10"))
+    scales = [2.0 + 0.05 * (i + 1) for i in range(K)]
+    times, r_last = [], None
+    for i, sc in enumerate(scales):
+        t0 = time.perf_counter()
+        st, stats = jitted(models, st, jnp.asarray(sc, dtype), *operands)
+        jax.block_until_ready(stats["r_norm"])
+        times.append((time.perf_counter() - t0) * 1000.0)
+        r_last = float(stats["r_norm"])
+    best = min(times)
+    print(
+        f"  timed steps ms: {[round(t, 1) for t in times]}  settled "
+        f"r_norm {r_last:.4f}",
+        flush=True,
+    )
+
+    # in-run self-verification: the same schedule from the same start state
+    # with a deep fixed count; the settled Newton residual saturates at the
+    # linearization error once the linear solve is converged (bench.py)
+    def settled(fk):
+        stepv = make_step(fk)
+        stv = st0
+        for sc in scales:
+            stv, statsv = stepv(models, stv, jnp.asarray(sc, dtype), *operands)
+        return float(jax.block_until_ready(statsv["r_norm"]))
+
+    r_ref = settled(verify_iters)
+    r_ref2 = settled(2 * verify_iters)
+    converged = (r_last <= 1.02 * r_ref) and (r_ref <= 1.02 * r_ref2)
+
+    vs_baseline = 80.0 / best
+    out = {
+        "metric": "mises_1MQP_general_tet_newton_step_converged",
+        "value": round(best, 3),
+        "unit": "ms",
+        "vs_baseline": round(vs_baseline, 4),
+        "n_qp": geo.N,
+        "pc": os.environ.get("PC", "amg"),
+        "fixed_iters": fixed,
+        "r_norm": round(r_last, 4),
+        "r_norm_ref": round(r_ref, 4),
+        "r_norm_ref2": round(r_ref2, 4),
+        "converged": converged,
+    }
+    print(json.dumps(out), flush=True)
+    with open(
+        pathlib.Path(__file__).resolve().parent.parent
+        / "BENCH_UNSTRUCTURED.json", "w",
+    ) as fh:
+        json.dump(out, fh)
+        fh.write("\n")
+    if not converged:
+        print(
+            f"FAIL: fixed-{fixed} settled r_norm {r_last:.4f} vs deep "
+            f"fixed-{verify_iters} {r_ref:.4f} / fixed-{2*verify_iters} "
+            f"{r_ref2:.4f}", file=sys.stderr,
+        )
+        sys.exit(1)
 
 
 def _steps(sim, bc_move, geo) -> None:
