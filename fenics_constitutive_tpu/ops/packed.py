@@ -34,6 +34,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils import to_device
+
 from ..ops import mandel
 from ..ops.mandel import Constraint
 from ..fem.elements import tabulate_element
@@ -189,11 +191,11 @@ def build_packed_geometry(
     )
     # q-major flat ordering: N index = q * C + c
     if uniform:
-        dN = jnp.asarray(dN_dx[0].transpose(1, 2, 0), dtype)  # [n, g, Q]
+        dN = to_device(dN_dx[0].transpose(1, 2, 0), dtype)  # [n, g, Q]
     else:
         dN = jnp.asarray(dN_dx.transpose(2, 3, 1, 0).reshape(
             dN_dx.shape[2], dN_dx.shape[3], Q * C), dtype)  # [n, g, N]
-    w_packed = jnp.asarray(w.T.reshape(-1), dtype)  # [Q*C], q-major
+    w_packed = to_device(w.T.reshape(-1), dtype)  # [Q*C], q-major
 
     n = elem.N.shape[1]
     vs = space.value_size
@@ -209,8 +211,8 @@ def build_packed_geometry(
         KEPS_np = KE.reshape(sdim * Q, n * vs)
         KD = KE * w[0][None, :, None, None]
         KDIV_np = KD.reshape(sdim * Q, n * vs).T.copy()
-        KEPS_c = jnp.asarray(KEPS_np, dtype)
-        KDIV_c = jnp.asarray(KDIV_np, dtype)
+        KEPS_c = to_device(KEPS_np, dtype)
+        KDIV_c = to_device(KDIV_np, dtype)
     dofmap = space.dofmap[cell_ids]  # [C, n, vs]
     dofmap_t = jnp.asarray(dofmap.transpose(1, 2, 0))  # [n, vs, C]
 

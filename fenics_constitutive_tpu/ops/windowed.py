@@ -648,17 +648,19 @@ def build_windowed_geometry(
     slot_of_cell[co[valid]] = np.nonzero(valid)[0]
 
     # q-major flat: N index = q * C_pad + slot
-    dN_j = jnp.asarray(dN_pad.transpose(2, 3, 1, 0).reshape(n, g, -1), dtype)
-    w_j = jnp.asarray(w_pad.T.reshape(-1), dtype)
+    from ..utils import to_device
+
+    dN_j = to_device(dN_pad.transpose(2, 3, 1, 0).reshape(n, g, -1), dtype)
+    w_j = to_device(w_pad.T.reshape(-1), dtype)
 
     inv = np.argsort(ex.perm)
     return WindowedGeometry(
         ex=ex,
         dN=dN_j,
         w=w_j,
-        perm_dev=jnp.asarray(ex.perm, jnp.int32),
-        invperm_dev=jnp.asarray(inv, jnp.int32),
-        slot_of_cell=jnp.asarray(slot_of_cell, jnp.int32),
+        perm_dev=to_device(ex.perm, jnp.int32),
+        invperm_dev=to_device(inv, jnp.int32),
+        slot_of_cell=to_device(slot_of_cell, jnp.int32),
         n_qp=Q,
         n_nodes=n,
         vs=space.value_size,

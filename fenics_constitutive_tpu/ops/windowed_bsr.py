@@ -33,6 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils import to_device
+
 __all__ = ["WindowedBsr", "build_windowed_bsr"]
 
 _W2 = 128  # column sub-tile width (lane width)
@@ -47,7 +49,7 @@ def _round_up(x: int, m: int) -> int:
     jax.tree_util.register_dataclass,
     data_fields=["loc", "vals", "jb"],
     meta_fields=["br", "bc", "k", "T_r", "P", "B", "n_rnodes", "n_cnodes",
-                 "NR_pad", "NC_pad"],
+                 "NR_pad", "NC_pad", "select_passes"],
 )
 @dataclass(frozen=True)
 class WindowedBsr:
@@ -71,6 +73,10 @@ class WindowedBsr:
     n_cnodes: int
     NR_pad: int
     NC_pad: int
+    #: bf16 split depth of the Pallas column select: 3 = exact f32
+    #: (default), 1 = bf16-rounded x at a third of the MXU cost (AMG
+    #: preconditioner levels; see pallas_window.windowed_bsr_matvec)
+    select_passes: int = 3
 
     @property
     def n_rows(self) -> int:
@@ -115,6 +121,7 @@ def build_windowed_bsr(
     n_pad_rows: int | None = None,
     n_pad_cols: int | None = None,
     dtype=None,
+    select_passes: int = 3,
 ) -> WindowedBsr:
     """Freeze a scipy sparse matrix into the windowed BSR plan.
 
@@ -191,8 +198,9 @@ def build_windowed_bsr(
 
     return WindowedBsr(
         loc=jnp.asarray(loc),
-        vals=jnp.asarray(vals.reshape(B, k * br * bc, T_r), dtype),
-        jb=jnp.asarray(jb, jnp.int32),
+        vals=to_device(vals.reshape(B, k * br * bc, T_r), dtype),
+        jb=to_device(jb, jnp.int32),
         br=br, bc=bc, k=k, T_r=T_r, P=P, B=B,
         n_rnodes=NRn, n_cnodes=NCn, NR_pad=NR_pad, NC_pad=NC_pad,
+        select_passes=select_passes,
     )

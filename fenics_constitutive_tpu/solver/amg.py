@@ -28,6 +28,8 @@ import math
 from dataclasses import dataclass
 
 import numpy as np
+
+from ..utils import to_device
 import jax
 import jax.numpy as jnp
 
@@ -328,7 +330,7 @@ def _to_ell(A, dtype):
     pos = np.arange(len(A.data)) - A.indptr[rows]
     vals[rows, pos] = A.data
     cols[rows, pos] = A.indices
-    return jnp.asarray(vals, dtype), jnp.asarray(cols)
+    return to_device(vals, dtype), jnp.asarray(cols)
 
 
 def _ell_matvec(vals, cols, v):
@@ -412,6 +414,7 @@ def build_amg(
     dtype=None,
     spmv: str = "ell",
     node_perm=None,
+    select_passes: int = 1,
 ):
     """Build the smoothed-aggregation elastic hierarchy for ``space``.
 
@@ -507,20 +510,18 @@ def build_amg(
             "would be too large — check the mesh connectivity"
         )
         raise RuntimeError(msg)
-    coarse_inv = jnp.asarray(
-        np.linalg.inv(A_levels[-1].toarray()), dtype
-    )
+    coarse_inv = to_device(np.linalg.inv(A_levels[-1].toarray()), dtype)
 
     dinv = []
     for A in A_levels[:-1]:
         d = A.diagonal()
         d = np.where(np.abs(d) > 0, d, 1.0)
-        dinv.append(jnp.asarray(1.0 / d, dtype))
+        dinv.append(to_device(1.0 / d, dtype))
 
     if spmv == "windowed":
         return _freeze_windowed(
             space, A_levels, P_levels, agg_levels, bs_levels, dinv,
-            coarse_inv, omega, nu, node_perm, dtype,
+            coarse_inv, omega, nu, node_perm, dtype, select_passes,
         )
     assert spmv == "ell", spmv
     return AmgPreconditioner(
@@ -641,7 +642,7 @@ jax.tree_util.register_dataclass(
 
 def _freeze_windowed(
     space, A_levels, P_levels, agg_levels, bs_levels, dinv_jnp,
-    coarse_inv, omega, nu, node_perm, dtype,
+    coarse_inv, omega, nu, node_perm, dtype, select_passes=1,
 ):
     """Freeze the SA hierarchy into windowed BSR plans (see build_amg)."""
     from ..ops.windowed import reverse_cuthill_mckee
@@ -674,6 +675,7 @@ def _freeze_windowed(
         build_windowed_bsr(
             A_levels[l], bs_levels[l], bs_levels[l], perms[l], perms[l],
             tile_rows=T_r, n_pad_rows=NP[l], n_pad_cols=NP[l], dtype=dtype,
+            select_passes=select_passes,
         )
         for l in range(n_levels - 1)
     )
@@ -682,6 +684,7 @@ def _freeze_windowed(
             P_levels[l], bs_levels[l], bs_levels[l + 1], perms[l],
             perms[l + 1], tile_rows=T_r, n_pad_rows=NP[l],
             n_pad_cols=NP[l + 1], dtype=dtype,
+            select_passes=select_passes,
         )
         for l in range(n_levels - 1)
     )
@@ -690,6 +693,7 @@ def _freeze_windowed(
             P_levels[l].T.tocsr(), bs_levels[l + 1], bs_levels[l],
             perms[l + 1], perms[l], tile_rows=T_r, n_pad_rows=NP[l + 1],
             n_pad_cols=NP[l], dtype=dtype,
+            select_passes=select_passes,
         )
         for l in range(n_levels - 1)
     )
@@ -702,7 +706,7 @@ def _freeze_windowed(
         inv = np.argsort(perms[l])
         full = np.zeros((bs_levels[l], NP[l]))
         full[:, : n_nodes[l]] = di[:, inv]
-        dinv_int.append(jnp.asarray(full.reshape(-1), dtype))
+        dinv_int.append(to_device(full.reshape(-1), dtype))
 
     # dense coarsest inverse, COMPACT: comp-major over the level-lc node
     # permutation at the natural coarse size (bsc*nc)^2 — NOT embedded in the
@@ -726,12 +730,12 @@ def _freeze_windowed(
         P_win=P_win,
         R_win=R_win,
         dinv_int=tuple(dinv_int),
-        coarse_inv=jnp.asarray(Ccmp, dtype),
+        coarse_inv=to_device(Ccmp, dtype),
         nc=nc,
         bsc=bsc,
         NPc=NP[lc],
-        perm_dev=jnp.asarray(perms[0], jnp.int32),
-        invperm_dev=jnp.asarray(np.argsort(perms[0]), jnp.int32),
+        perm_dev=to_device(perms[0], jnp.int32),
+        invperm_dev=to_device(np.argsort(perms[0]), jnp.int32),
         omega=float(omega),
         nu=int(nu),
         n_levels=n_levels,

@@ -39,10 +39,17 @@ class PackedSimulation:
         bcs: Dirichlet BCs (values may be mutated between steps).
         q_degree: quadrature degree.
         del_t: time increment (mutable attribute).
-        preconditioner: None (Jacobi), "bpx", "vcycle", or "amg". The
-            geometric options ("bpx"/"vcycle") need a box-structured mesh;
-            "amg" (smoothed-aggregation, solver/amg.py) works on any mesh —
-            the PETSc-AMG analog. Elastic moduli are taken from
+        preconditioner: "auto" (default), None (Jacobi), "bpx", "vcycle",
+            or "amg". The geometric options ("bpx"/"vcycle") need a
+            box-structured mesh; "amg" (smoothed-aggregation, solver/amg.py)
+            works on any mesh — the PETSc-AMG analog. "auto" resolves to
+            "amg" on the windowed (general imported-mesh) engine — matching
+            the reference's PETSc preconditioned-KSP default, and keeping
+            the per-dispatch device time short (plain Jacobi needs ~150 CG
+            iterations at 1M QPs; long dispatches are killed by the TPU
+            worker — docs/performance.md) — and to None (Jacobi) on the
+            structured engines, whose in-run-verified bench configs pass
+            their preconditioner explicitly. Elastic moduli are taken from
             ``elastic_moduli`` or estimated from the model params.
         matvec_impl: "conv", "pallas", or "auto" (pallas on TPU backends for
             the 3D structured hot path).
@@ -79,7 +86,7 @@ class PackedSimulation:
         q_degree: int,
         del_t: float = 1.0,
         *,
-        preconditioner: str | None = None,
+        preconditioner: str | None = "auto",
         matvec_impl: str = "auto",
         elastic_moduli: tuple[float, float] | None = None,
         newton_rtol: float = 1e-8,
@@ -134,6 +141,12 @@ class PackedSimulation:
             hasattr(g, "matvec_gm") for g in geos
         )
         any_structured = structured or structured_multi
+
+        if preconditioner == "auto":
+            # the windowed engine's production default: AMG (see class
+            # docstring); structured engines default to plain Jacobi-CG
+            windowed_eng = all(hasattr(g, "to_internal") for g in geos)
+            preconditioner = "amg" if windowed_eng else None
 
         if matvec_impl == "auto":
             on_tpu = jax.default_backend() not in ("cpu",)

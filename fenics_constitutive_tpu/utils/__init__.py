@@ -22,3 +22,21 @@ __all__ = [
     "get_timings",
     "reset_timings",
 ]
+
+
+def to_device(a, dtype=None):
+    """``jnp.asarray`` with the dtype conversion done HOST-SIDE first.
+
+    A dtype-converting ``jnp.asarray(np_array, dtype)`` lowers to a tiny
+    convert program — one REMOTE compile per distinct shape on tunneled
+    TPU backends (measured ~0.5 s each vs ~0.06 s for a pure transfer).
+    Plan/hierarchy builders call this so every device upload is a plain
+    ``device_put``.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    a = np.asarray(a)
+    if dtype is not None:
+        a = np.asarray(a, np.dtype(jnp.dtype(dtype)))
+    return jnp.asarray(np.ascontiguousarray(a))

@@ -107,12 +107,51 @@ def main() -> None:
         "no honest number exists — rerun with larger MM_N/MM_STEPS"
     )
     r = float(stats["r_norm"][-1])
+
+    # in-run deep-CG self-verification (bench.py protocol, VERDICT r4 #5):
+    # with a FIXED count, re-run one ramp from the settled state with 3x and
+    # 6x deeper fixed counts — the settled Newton residual saturates at the
+    # linearization error once the linear solve converges, so fixed-F is
+    # converged iff it matches deep, and deep is trusted iff it matches
+    # 2x-deep (this config is off the single-law calibration).
+    verified = None
+    r_ref = r_ref2 = None
+    if fixed:
+        st_v = sim.state
+
+        def settled(fk: int) -> float:
+            sim_k = PackedSimulation(
+                laws, V, bcs, 2, preconditioner="vcycle",
+                mg_options={"nu": 3, "nu_coarse": 2, "coarse_direct": True},
+                newton_rtol=0.0, newton_atol=0.0, max_newton=1,
+                cg_rtol=1e-5, cg_maxiter=400, cg_fixed_iters=fk,
+            )
+            sim_k.state = st_v
+            stats_k = sim_k.solve_schedule(ramp_vals(99))
+            return float(stats_k["r_norm"][-1])
+
+        r_fixed = settled(int(fixed))
+        r_ref = settled(3 * int(fixed))
+        r_ref2 = settled(6 * int(fixed))
+        verified = (r_fixed <= 1.02 * r_ref) and (r_ref <= 1.02 * r_ref2)
+        print(
+            f"verify: fixed-{fixed} {r_fixed:.4f} vs deep-{3*int(fixed)} "
+            f"{r_ref:.4f} vs deep-{6*int(fixed)} {r_ref2:.4f} -> "
+            f"{'OK' if verified else 'UNDER-CONVERGED'}",
+            flush=True,
+        )
+
     print(json.dumps({
         "metric": "mises_multimat_50cube_newton_step",
         "value": round(best * 1000.0, 3), "unit": "ms",
         "n_laws": 2, "r_norm": round(r, 4),
         "cg_iters_last": int(stats["cg_iters_last"][-1]),
+        **({"fixed_iters": int(fixed), "r_norm_ref": round(r_ref, 4),
+            "r_norm_ref2": round(r_ref2, 4), "converged": verified}
+           if fixed else {}),
     }))
+    if fixed and not verified:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -128,7 +128,7 @@ def main() -> None:
         bm2, bcs2 = mkbcs()
         sim2 = PackedSimulation(
             VonMises3D(MAT), V, bcs2, 2, engine="windowed",
-            dtype=jnp.float32,
+            dtype=jnp.float32, preconditioner=None,  # explicit Jacobi arm
             newton_rtol=1e-6, newton_atol=1e-3,
             cg_rtol=1e-5, cg_maxiter=maxit,
         )
