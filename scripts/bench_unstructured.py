@@ -123,6 +123,7 @@ def main() -> None:
             if bench_mode
             else None
         ),
+        mg_options={"nu": int(os.environ.get("NU", "2"))},
     )
     geo = sim._geos[0]
     ex = geo.ex

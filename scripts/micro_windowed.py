@@ -122,6 +122,19 @@ def main() -> None:
 
         timed(f"matvec x{reps}", loop_mv, ui)
 
+    if "perm" in which:
+        ue = jnp.asarray(
+            rng.standard_normal(geo.ndofs).astype(np.float32)
+        )
+
+        def loop_perm(u):
+            def body(i, acc):
+                return geo.from_internal(geo.to_internal(acc))[: u.shape[0]] * 0.999999
+
+            return jax.lax.fori_loop(0, reps, body, u)
+
+        timed(f"to_internal+from_internal x{reps}", loop_perm, ue)
+
     if "strain" in which:
         def loop_strain(u):
             def body(i, acc):
