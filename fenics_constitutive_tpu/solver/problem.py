@@ -306,17 +306,27 @@ class IncrSmallStrainProblem:
     def _eval_assemble_packed_impl(
         self, models, geos, u, u_prev, stress_prev, histories, f_ext, t, dt
     ):
+        # the windowed engine's kinematics run on INTERNAL (RCM-permuted,
+        # component-major) vectors — convert once per evaluation at the
+        # boundary (the fast production path keeps whole Newton loops
+        # internal; this is the interactive/compat surface)
+        win = hasattr(geos[0], "to_internal")
         du = u - u_prev
-        r = -f_ext
+        if win:
+            du = geos[0].to_internal(du)
+        r_acc = None
         stresses, tangents, hists = [], [], []
         for model, geo, sig0, h0 in zip(models, geos, stress_prev, histories):
             eps = geo.strain(du)
             s_new, tg, h_new = model.evaluate_packed(t, dt, eps, sig0, h0)
-            r = r + geo.residual(s_new)
+            rg = geo.residual(s_new)
+            r_acc = rg if r_acc is None else r_acc + rg
             stresses.append(s_new)
             tangents.append(tg)
             hists.append(h_new)
-        return r, tuple(stresses), tuple(tangents), tuple(hists)
+        if win:
+            r_acc = geos[0].from_internal(r_acc)
+        return r_acc - f_ext, tuple(stresses), tuple(tangents), tuple(hists)
 
     def _linear_solve_packed_impl(
         self, geos, tangents, r, free, cg_rtol, cg_maxiter,
@@ -356,6 +366,47 @@ class IncrSmallStrainProblem:
                 flexible=cg_flexible,
             )
             return geo.to_node_major(delta_gm), k
+
+        if hasattr(geos[0], "to_internal"):
+            # windowed engine: the whole CG loop runs on INTERNAL vectors
+            # (one boundary permutation per solve, not two per iteration)
+            g0 = geos[0]
+            fi = g0.to_internal(free.astype(r.dtype)) == 1.0  # pads -> False
+            b_int = g0.to_internal(jnp.where(free, r, 0.0))
+
+            def matvec(v):
+                vm = jnp.where(fi, v, 0.0)
+                out = None
+                for geo, tg in zip(geos, tangents):
+                    mv = geo.matvec(vm, tg)
+                    out = mv if out is None else out + mv
+                return jnp.where(fi, out, v)
+
+            if pc is not None:
+                if getattr(pc, "internal_layout", False):
+                    def precond(rr):
+                        rm = jnp.where(fi, rr, 0.0)
+                        return jnp.where(fi, pc(rm), rr)
+                else:
+                    def precond(rr):
+                        rm = g0.from_internal(jnp.where(fi, rr, 0.0))
+                        return jnp.where(fi, g0.to_internal(pc(rm)), rr)
+
+                delta_int, k = cg_solve(
+                    matvec, b_int, rtol=cg_rtol, maxiter=cg_maxiter,
+                    precond=precond, flexible=cg_flexible,
+                )
+                return g0.from_internal(delta_int), k
+            diag = None
+            for geo, tg in zip(geos, tangents):
+                d = geo.jacobi_diag(tg)
+                diag = d if diag is None else diag + d
+            diag = jnp.where(fi, diag, 1.0)
+            delta_int, k = cg_solve(
+                matvec, b_int, diag, rtol=cg_rtol, maxiter=cg_maxiter,
+                flexible=cg_flexible,
+            )
+            return g0.from_internal(delta_int), k
 
         def matvec(v):
             vm = jnp.where(free, v, 0.0)

@@ -364,3 +364,37 @@ def test_windowed_amg_preconditioner():
     it_amg = int(sim_amg.last_stats["cg_iters_last"])
     it_jac = int(sim_jac.last_stats["cg_iters_last"])
     assert it_amg < it_jac / 2, (it_amg, it_jac)
+
+
+def test_interactive_problem_on_windowed_geos(monkeypatch):
+    """IncrSmallStrainProblem (the interactive/compat surface) must work
+    when build_packed_problem auto-selects the WINDOWED engine for a large
+    general mesh — its eval and Krylov cores convert at the internal-layout
+    boundary (r5 regression: external u fed to internal-layout strain
+    raised a reshape error). Threshold patched down so a small shuffled
+    mesh exercises the windowed geos."""
+    from fenics_constitutive_tpu.models import VonMises3D
+    from fenics_constitutive_tpu.solver import IncrSmallStrainProblem
+    from fenics_constitutive_tpu.solver import packed_step as ps
+
+    mat = {
+        "p_ka": 175000.0, "p_mu": 80769.0, "p_y0": 1200.0,
+        "p_y00": 2500.0, "p_w": 200.0,
+    }
+    mesh = shuffled_mesh(4)
+    V = FunctionSpace(mesh, 1, 3)
+
+    monkeypatch.setattr(ps, "WINDOWED_MIN_CELLS", 8)
+    prob_w = IncrSmallStrainProblem(VonMises3D(mat), V, _bar_bcs(V, 0.004), 2)
+    assert hasattr(prob_w._pk_geos[0], "to_internal")
+    niter_w, conv_w = prob_w.solve()
+    assert conv_w
+
+    monkeypatch.undo()
+    prob_g = IncrSmallStrainProblem(VonMises3D(mat), V, _bar_bcs(V, 0.004), 2)
+    assert not hasattr(prob_g._pk_geos[0], "to_internal")
+    niter_g, conv_g = prob_g.solve()
+    assert conv_g
+    np.testing.assert_allclose(
+        np.asarray(prob_w.u), np.asarray(prob_g.u), rtol=1e-9, atol=1e-12
+    )
