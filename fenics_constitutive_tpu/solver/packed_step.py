@@ -171,8 +171,14 @@ def build_packed_problem(space, laws, q_degree, dtype=None, engine="auto"):
         }
         for m, g in zip(models, geos)
     )
+    # the windowed engine's state.u lives in the INTERNAL (RCM-permuted,
+    # component-major, tile-padded) layout so the step pays ZERO boundary
+    # permutations (the node<->internal gathers are scalarized ~8 ms each at
+    # 1M QPs); PackedSimulation converts at its public boundary (.u) and
+    # make_packed_step's windowed path documents the contract
+    n_u = geos[0].ndofs_int if hasattr(geos[0], "to_internal") else space.ndofs
     state = PackedState(
-        u=jnp.zeros(space.ndofs, dtype),
+        u=jnp.zeros(n_u, dtype),
         stress=stress,
         histories=histories,
         t=jnp.asarray(0.0, dtype),
@@ -352,10 +358,15 @@ def make_packed_step(
             )
 
         def step_win(models, state: PackedState, bc_dofs, bc_vals, f_ext, dt):
+            """Windowed-engine step. CONTRACT: ``state.u`` and ``f_ext`` are
+            INTERNAL [vs * M_pad] vectors (build_packed_problem initializes
+            the state that way; PackedSimulation caches the f_ext conversion
+            at the host boundary) — the step pays no node<->internal
+            permutations at all."""
             bc_int = geo0.bc_internal(bc_dofs)
             free = geo0.free_internal(bc_dofs)
-            u_prev = geo0.to_internal(state.u)
-            f_ext_int = geo0.to_internal(f_ext)
+            u_prev = state.u
+            f_ext_int = f_ext
             u0 = u_prev.at[bc_int].set(bc_vals)
 
             def fnorm(r):
@@ -389,7 +400,7 @@ def make_packed_step(
                 cond, body, carry
             )
             new_state = PackedState(
-                u=geo0.from_internal(u),
+                u=u,  # stays internal (see contract above)
                 stress=s_f,
                 histories=h_f,
                 t=state.t + dt,

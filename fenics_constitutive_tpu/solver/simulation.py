@@ -391,9 +391,30 @@ class PackedSimulation:
         self._jitted = jax.jit(step)
         self._jitted_schedule = None
         self.last_stats = None
+        # windowed engine: state.u (and the step's f_ext argument) live in
+        # the INTERNAL RCM layout — steps pay no boundary permutations; the
+        # public surfaces (.u, substep bc extraction, f_ext) convert here
+        self._win_internal = all(hasattr(g, "to_internal") for g in geos)
+        if self._win_internal:
+            self._to_int = jax.jit(geos[0].to_internal)
+            self._from_int = jax.jit(geos[0].from_internal)
+            self._fext_cache = (None, None)
+
+    def _f_ext_int(self, f_ext):
+        """Internal-layout f_ext, cached on the source array's identity
+        (f_ext rarely changes between steps; the conversion is a scalarized
+        ~8 ms permutation at 1M QPs)."""
+        src, cached = self._fext_cache
+        if src is f_ext:
+            return cached
+        out = self._to_int(f_ext)
+        self._fext_cache = (f_ext, out)
+        return out
 
     def _attempt(self, bc_dofs, bc_vals, f_ext, dt) -> tuple[int, bool]:
         """Run one committed step; returns (niter, converged-and-finite)."""
+        if self._win_internal:
+            f_ext = self._f_ext_int(f_ext)
         self.state, stats = self._jitted(
             self._models, self.state, bc_dofs, bc_vals, f_ext, dt,
             *self._operands,
@@ -441,7 +462,16 @@ class PackedSimulation:
                 self._f_ext_committed = np.asarray(f_ext)
             return niter, ok
 
-        start_vals = np.asarray(state0.u)[bc_dofs_np] if len(bc_dofs_np) else bc_vals_np
+        if not len(bc_dofs_np):
+            start_vals = bc_vals_np
+        elif self._win_internal:
+            # committed u is internal: index via the internal bc slots
+            g0 = self._geos[0]
+            node, comp = bc_dofs_np // g0.vs, bc_dofs_np % g0.vs
+            idx = comp * g0.ex.M_pad + g0.ex.perm[node]
+            start_vals = np.asarray(state0.u)[idx]
+        else:
+            start_vals = np.asarray(state0.u)[bc_dofs_np]
         f_target = np.asarray(f_ext)
         f_start = self._f_ext_committed
         for level in range(1, self._max_subdivisions + 1):
@@ -531,6 +561,13 @@ class PackedSimulation:
                 msg = f"f_ext_scales must be [K] or [K, ndofs], got {f_scales.shape}"
                 raise ValueError(msg)
         assert f_scales.shape[0] == K, (f_scales.shape, K)
+        if self._win_internal:
+            # the windowed step consumes INTERNAL f_ext vectors
+            if f_scales.ndim == 2:
+                f_scales = jax.vmap(self._geos[0].to_internal)(f_scales)
+                f_base = jnp.ones((self._geos[0].ndofs_int,), dtype)
+            else:
+                f_base = self._f_ext_int(f_base)
 
         unroll = self._scan_unsafe and jax.default_backend() not in ("cpu",)
         if self._jitted_schedule is None or unroll:
@@ -602,6 +639,11 @@ class PackedSimulation:
 
     @property
     def u(self) -> jnp.ndarray:
+        """Displacements in the PUBLIC node-major dof order. (The windowed
+        engine keeps ``state.u`` in its internal RCM layout so steps pay no
+        boundary permutations; this property converts on observation.)"""
+        if self._win_internal:
+            return self._from_int(self.state.u)
         return self.state.u
 
     @property

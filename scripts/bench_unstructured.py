@@ -194,7 +194,7 @@ def _bench_protocol(sim, bcs, geo) -> None:
     dtype = sim.state.u.dtype
     bcd = jnp.asarray(bc_dofs)
     bcv = jnp.asarray(bc_vals, dtype)
-    f0 = jnp.zeros(sim.space.ndofs, dtype)
+    f0 = jnp.zeros_like(sim.state.u)  # windowed f_ext is INTERNAL-layout
     dt = jnp.asarray(1.0, dtype)
 
     def make_step(fk):

@@ -126,7 +126,7 @@ def test_windowed_step_sharded_matches_unsharded():
     step = make_packed_step(
         geos, newton_rtol=1e-10, cg_rtol=1e-12, cg_maxiter=2000
     )
-    fx = jnp.zeros(V.ndofs, state.u.dtype)
+    fx = jnp.zeros_like(state.u)  # windowed f_ext is INTERNAL-layout
     dt = jnp.asarray(1.0, state.u.dtype)
     jitted = jax.jit(lambda st: step(models, st, bcd, bcv.astype(state.u.dtype), fx, dt))
 
