@@ -398,3 +398,38 @@ def test_interactive_problem_on_windowed_geos(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(prob_w.u), np.asarray(prob_g.u), rtol=1e-9, atol=1e-12
     )
+
+
+def test_bsr_select_passes_interpret():
+    """The bf16 split depth of the Pallas BSR column select: 3 passes
+    reconstruct f32 exactly; 1 pass (the AMG preconditioner default,
+    solver/amg.build_amg select_passes=1) rounds the gathered x at bf16
+    (~2^-9 relative) — verified in interpret mode against the XLA ref."""
+    import dataclasses
+
+    from fenics_constitutive_tpu.fem.bcs import combine_bcs
+    from fenics_constitutive_tpu.ops.pallas_window import windowed_bsr_matvec
+    from fenics_constitutive_tpu.solver.amg import build_amg
+
+    mesh = shuffled_mesh(5)
+    V = FunctionSpace(mesh, 1, 3)
+    free = np.ones(V.ndofs, bool)
+    win = build_amg(
+        V, 80769.0, 175000.0, free, q_degree=2, spmv="windowed",
+        select_passes=3,
+    )
+    w3 = win.A_win[0]
+    assert w3.select_passes == 3
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(
+        rng.standard_normal(w3.bc * w3.NC_pad).astype(np.float32)
+    )
+    y_ref = np.asarray(w3.matvec_ref(x))
+    y3 = np.asarray(windowed_bsr_matvec(w3, x, interpret=True))
+    scale = np.abs(y_ref).max()
+    np.testing.assert_allclose(y3, y_ref, rtol=0, atol=1e-6 * scale)
+
+    w1 = dataclasses.replace(w3, select_passes=1)
+    y1 = np.asarray(windowed_bsr_matvec(w1, x, interpret=True))
+    rel1 = np.abs(y1 - y_ref).max() / scale
+    assert 1e-8 < rel1 < 1e-2, rel1  # bf16-rounded select, not exact
