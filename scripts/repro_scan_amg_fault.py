@@ -63,3 +63,61 @@ print("dispatching scan (this is the faulting call on TPU)...", flush=True)
 out, _ = jax.jit(scanned)(state, jnp.arange(1, 4, dtype=jnp.float32), amg)
 jax.block_until_ready(out.u)
 print("scan OK (fault not reproduced on this runtime)", flush=True)
+
+# --- windowed-engine counterpart (r5): does scan over the WINDOWED step +
+# windowed AMG fault too? (The production default engine for general
+# meshes; solve_schedule's unrolled fallback currently triggers only on
+# the gather+AMG configuration.)
+import os
+
+if os.environ.get("WINDOWED", "1") != "0":
+    from fenics_constitutive_tpu.solver.amg import WindowedAmgPreconditioner
+
+    mesh_w = unit_cube_mesh(8, 8, 8, "tetra")
+    Vw = FunctionSpace(mesh_w, 1, 3)
+    bcw = [
+        DirichletBC(
+            Vw.locate_dofs_geometrical(lambda x: np.isclose(x[:, 0], 0.0)),
+            np.zeros(3),
+        ),
+        DirichletBC(
+            Vw.locate_dofs_geometrical(lambda x: np.isclose(x[:, 0], 1.0)),
+            np.array([0.01, 0, 0]),
+        ),
+    ]
+    geos_w, models_w, state_w = build_packed_problem(
+        Vw, law, 2, jnp.float32, engine="windowed"
+    )
+    bdw, bvw = combine_bcs(bcw)
+    free_w = np.ones(Vw.ndofs, bool)
+    free_w[bdw] = False
+    amg_w = build_amg(
+        Vw, 80769.0, 175000.0, free_w, q_degree=2, spmv="windowed",
+        node_perm=geos_w[0].ex.perm,
+    )
+    djw, vjw = jnp.asarray(bdw), jnp.asarray(bvw, jnp.float32)
+    f0w = jnp.zeros_like(state_w.u)
+    dtw = jnp.asarray(1.0, jnp.float32)
+
+    def step_win(st, scale, pc):
+        pc_call = pc.wrap_internal(geos_w[0].ex.M_pad)
+        pc_call.internal_layout = True
+        step = make_packed_step(
+            geos_w, max_newton=1, cg_rtol=1e-5, preconditioner=pc_call,
+            cg_fixed_iters=10,
+        )
+        return step(models_w, st, djw, vjw * scale, f0w, dtw)
+
+    stw, _ = jax.jit(step_win)(state_w, jnp.float32(1.0), amg_w)
+    jax.block_until_ready(stw.u)
+    print("windowed single-step jit OK", flush=True)
+
+    def scanned_w(st, scales, pc):
+        return jax.lax.scan(lambda s, x: step_win(s, x, pc), st, scales)
+
+    print("dispatching WINDOWED scan...", flush=True)
+    outw, _ = jax.jit(scanned_w)(
+        state_w, jnp.arange(1, 4, dtype=jnp.float32), amg_w
+    )
+    jax.block_until_ready(outw.u)
+    print("windowed scan OK", flush=True)

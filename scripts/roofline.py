@@ -323,7 +323,7 @@ def main_windowed() -> None:
     )
     dj = jnp.asarray(bc_dofs)
     vj = jnp.asarray(bc_vals, jnp.float32)
-    f0 = jnp.zeros(V.ndofs, jnp.float32)
+    f0 = jnp.zeros_like(state.u)  # windowed f_ext is INTERNAL-layout
     jitted = jax.jit(lambda st, sc: step(models, st, dj, vj * sc, f0, dtj))
     st = state
     for k in (0.5, 1.0, 1.5, 2.0):
