@@ -261,6 +261,9 @@ def main_windowed() -> None:
         rows.append((name, ms, bytes_moved / 1e6, floor,
                      ms / floor if floor else float("inf"), flops / 1e9))
 
+    phases = __import__("os").environ.get(
+        "ROOF_PHASES", "gather,scatter,matvec,eval,step"
+    ).split(",")
     rng2 = np.random.default_rng(1)
     u2 = jnp.asarray(rng2.standard_normal((K, ex.M_pad)).astype(np.float32))
     f_rows = jnp.asarray(
@@ -269,16 +272,18 @@ def main_windowed() -> None:
     ui = jnp.asarray(rng2.standard_normal(geo.ndofs_int).astype(np.float32))
 
     bytes_g = f32 * (ex.B * K * ex.P * ex.T + ex.B * ex.Rn + ex.B * K * ex.Rn)
-    msG = timeit(
-        "gather", lambda u: u * 0.999999 + ex.gather(u).sum() * 1e-20, u2
-    )
-    row("gather", msG, bytes_g, mxu_flops)
+    if "gather" in phases:
+        msG = timeit(
+            "gather", lambda u: u * 0.999999 + ex.gather(u).sum() * 1e-20, u2
+        )
+        row("gather", msG, bytes_g, mxu_flops)
 
-    msS = timeit(
-        "scatter", lambda f: f * 0.999999 + ex.scatter(f)[0, 0] * 1e-20,
-        f_rows,
-    )
-    row("scatter", msS, bytes_g, mxu_flops)
+    if "scatter" in phases:
+        msS = timeit(
+            "scatter", lambda f: f * 0.999999 + ex.scatter(f)[0, 0] * 1e-20,
+            f_rows,
+        )
+        row("scatter", msS, bytes_g, mxu_flops)
 
     from fenics_constitutive_tpu.ops.packed import IsotropicTangent
 
@@ -292,11 +297,12 @@ def main_windowed() -> None:
     bytes_mv = f32 * (
         2 * 12 * geo.N + 8 * geo.N + 2 * geo.N  # dN x2, n+beta+gamma, w
     ) + 2 * bytes_g
-    msM = timeit(
-        "matvec",
-        lambda v: geo.matvec(v, tg) * jnp.float32(1e-6) + v * 0.5, ui,
-    )
-    row("matvec", msM, bytes_mv, 2 * mxu_flops)
+    if "matvec" in phases:
+        msM = timeit(
+            "matvec",
+            lambda v: geo.matvec(v, tg) * jnp.float32(1e-6) + v * 0.5, ui,
+        )
+        row("matvec", msM, bytes_mv, 2 * mxu_flops)
 
     sig0, h0 = state.stress[0], state.histories[0]
     dtj = jnp.asarray(1.0, jnp.float32)
@@ -310,8 +316,9 @@ def main_windowed() -> None:
 
     # stress/history in+out + factors + eps + dN x2 + exchanges
     bytes_ev = f32 * geo.N * (6 * 4 + 7 * 2 + 8 + 2 * 12 + 2) + 2 * bytes_g
-    msEv = timeit("eval", bodyEv, ui)
-    row("eval_assemble", msEv, bytes_ev, 2 * mxu_flops)
+    if "eval" in phases:
+        msEv = timeit("eval", bodyEv, ui)
+        row("eval_assemble", msEv, bytes_ev, 2 * mxu_flops)
 
     bc_dofs, bc_vals = combine_bcs(bcs)
     step = make_packed_step(
@@ -337,10 +344,13 @@ def main_windowed() -> None:
         st2, _ = step(models, st_i, dj, vj * (2.0 + 0.05 * k), f0, dtj)
         return (st2, k + 1.0)
 
-    msE = timeit("step", bodyE, (st, jnp.asarray(0.0, jnp.float32)), inner=5)
-    bytes_E = 2 * bytes_ev + fixed * bytes_mv
-    row(f"full step (fixed-{fixed} CG)", msE, bytes_E,
-        (2 + 2 * fixed) * mxu_flops)
+    if "step" in phases:
+        msE = timeit(
+            "step", bodyE, (st, jnp.asarray(0.0, jnp.float32)), inner=5
+        )
+        bytes_E = 2 * bytes_ev + fixed * bytes_mv
+        row(f"full step (fixed-{fixed} CG)", msE, bytes_E,
+            (2 + 2 * fixed) * mxu_flops)
 
     print(f"\n{'phase':26s} {'ms':>8s} {'MB moved':>10s} {'floor ms':>12s}"
           f" {'x floor':>8s} {'GFLOP':>8s}")
