@@ -106,6 +106,30 @@ def main() -> None:
     print(f"V({nu},{nu}) windowed-AMG cycle: {best / reps:.3f} ms/apply",
           flush=True)
 
+    # same cycle with the hierarchy crossing jit as an ARGUMENT (the
+    # production step's operand pattern) instead of closure constants —
+    # isolates whether the in-step cycle's ~2x cost vs the isolated apply
+    # (roofline r5) comes from argument-passing/layout or from context
+    def loop_vc_arg(pc_a, u):
+        apply_a = pc_a.wrap_internal(geo.ex.M_pad)
+
+        def body(i, acc):
+            return apply_a(acc) * jnp.float32(1e-3) + acc * 0.5
+
+        return jax.lax.fori_loop(0, reps, body, u)
+
+    fa = jax.jit(loop_vc_arg)
+    jax.block_until_ready(fa(pc, ui))
+    best_a = float("inf")
+    for i in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fa(pc, ui * (1.0 + 1e-6 * i)))
+        best_a = min(best_a, (time.perf_counter() - t0) * 1000.0)
+    print(
+        f"V({nu},{nu}) cycle, hierarchy as jit ARG: {best_a / reps:.3f} "
+        "ms/apply", flush=True,
+    )
+
     # --- adaptive-CG counts + step wall, AMG --------------------------------
     def drive(sim, bm, label):
         for k in (1, 2, 3):
