@@ -49,6 +49,11 @@ def main():
     law = VonMises3D(MAT)
     t0 = time.perf_counter()
     geos, models, state = build_packed_problem(V, law, q)
+    import dataclasses
+    import os
+    prec = os.environ.get("P2PREC")  # A/B the operator-conv precision
+    if prec:
+        geos = (dataclasses.replace(geos[0], conv_precision=prec),)
     print(
         f"P2 {n}^3 hex, q_degree={q}: QPs={geos[0].N:,} dofs={V.ndofs:,} "
         f"uniform={geos[0].uniform} (setup {time.perf_counter() - t0:.1f}s)"
