@@ -1,20 +1,23 @@
-"""Minimal repro: lax.scan over the gather-path packed step + AMG faults TPU.
+"""Repro harness: lax.scan over packed steps with AMG pytree operands.
 
-Observed (r3, re-confirmed r4): jitting ``lax.scan`` over
+History: in r3 (re-confirmed r4), jitting ``lax.scan`` over
 ``make_packed_step`` on the GATHER-path geometry with an
-``AmgPreconditioner`` pytree argument faults the TPU backend through the
-remote ("axon") tunnel at every problem size. The IDENTICAL program runs
-fine (a) as a single-step jit on TPU, (b) as a statically unrolled K-step
-chain on TPU, and (c) as the same scan on the CPU backend — so the fault is
-specific to scan + this operand pytree on the TPU runtime, not to the math.
+``AmgPreconditioner`` pytree argument faulted the TPU backend through the
+remote ("axon") tunnel at every problem size, while the identical program
+ran fine as a single-step jit, as an unrolled chain, and on CPU.
 
-Runtime observed: jax 0.8.x, libtpu v5e-1 via the axon tunnel (single chip).
-Production impact: none — PackedSimulation.solve_schedule detects the
-configuration and uses the unrolled chain (solver/simulation.py), and
-scripts/bench_amg_tpu.py always did.
+RECORDED OUTCOME (r5, 2026-08-19, on the chip): **NOT REPRODUCIBLE** —
+both stages print OK ("scan OK (fault not reproduced on this runtime)",
+"windowed scan OK"). Changed since the r4 observation: AMG hierarchy
+arrays now upload as pure device transfers (utils.to_device host-side
+dtype conversion) instead of per-array convert programs, and/or the
+runtime updated. PackedSimulation.solve_schedule keeps its unrolled-chain
+fallback for the gather+AMG configuration (harmless; this script is the
+canary to retire it).
 
-Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/repro_scan_amg_fault.py
-Expect: "single-step jit OK", then the scan dispatch faults/hangs.
+Run: python scripts/repro_scan_amg_fault.py
+Env: GATHER_SCAN=0 skips the historical faulting stage; WINDOWED=0 skips
+the windowed-engine scan stage.
 """
 
 import pathlib
@@ -76,7 +79,14 @@ import os
 if os.environ.get("WINDOWED", "1") != "0":
     from fenics_constitutive_tpu.solver.amg import WindowedAmgPreconditioner
 
-    mesh_w = unit_cube_mesh(8, 8, 8, "tetra")
+    from fenics_constitutive_tpu.fem.mesh import Mesh as _FeMesh
+
+    _m0 = unit_cube_mesh(8, 8, 8, "tetra")
+    _rng = np.random.default_rng(0)
+    _pi = _rng.permutation(_m0.num_nodes)
+    _nodes = np.empty_like(_m0.nodes)
+    _nodes[_pi] = _m0.nodes
+    mesh_w = _FeMesh(_nodes, _pi[_m0.cells].astype(np.int32), "tetra")
     Vw = FunctionSpace(mesh_w, 1, 3)
     bcw = [
         DirichletBC(
