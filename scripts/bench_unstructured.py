@@ -277,12 +277,13 @@ def _bench_protocol(sim, bcs, geo) -> None:
         "converged": converged,
     }
     print(json.dumps(out), flush=True)
-    with open(
-        pathlib.Path(__file__).resolve().parent.parent
-        / "BENCH_UNSTRUCTURED.json", "w",
-    ) as fh:
-        json.dump(out, fh)
-        fh.write("\n")
+    if converged:  # keep only VERIFIED artifacts in the repo record
+        with open(
+            pathlib.Path(__file__).resolve().parent.parent
+            / "BENCH_UNSTRUCTURED.json", "w",
+        ) as fh:
+            json.dump(out, fh)
+            fh.write("\n")
     if not converged:
         print(
             f"FAIL: fixed-{fixed} settled r_norm {r_last:.4f} vs deep "
