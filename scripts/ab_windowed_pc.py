@@ -76,7 +76,10 @@ def main() -> None:
         preconditioner="amg", dtype=jnp.float32,
         newton_rtol=1e-6, newton_atol=1e-3,
         cg_rtol=1e-5, cg_maxiter=maxit,
-        mg_options={"nu": nu},
+        mg_options={
+            "nu": nu,
+            "tile_rows": int(os.environ.get("TR", "512")),
+        },
     )
     print(f"build (incl AMG hierarchy): {time.time() - t0:.1f}s", flush=True)
     geo = sim._geos[0]

@@ -123,7 +123,10 @@ def main() -> None:
             if bench_mode
             else None
         ),
-        mg_options={"nu": int(os.environ.get("NU", "2"))},
+        mg_options={
+            "nu": int(os.environ.get("NU", "2")),
+            "tile_rows": int(os.environ.get("TR", "512")),
+        },
     )
     geo = sim._geos[0]
     ex = geo.ex
