@@ -433,3 +433,47 @@ def test_bsr_select_passes_interpret():
     y1 = np.asarray(windowed_bsr_matvec(w1, x, interpret=True))
     rel1 = np.abs(y1 - y_ref).max() / scale
     assert 1e-8 < rel1 < 1e-2, rel1  # bf16-rounded select, not exact
+
+
+def test_windowed_neumann_matches_gather_engine():
+    """External (Neumann) loads on the windowed engine: f_ext crosses the
+    internal-layout boundary (PackedSimulation._f_ext_int after the r5
+    internal-state refactor) — pinned against the gather engine."""
+    from fenics_constitutive_tpu.fem import DirichletBC
+    from fenics_constitutive_tpu.fem.facets import (
+        assemble_facet_traction,
+        locate_boundary_facets,
+    )
+    from fenics_constitutive_tpu.models import LinearElasticityModel
+    from fenics_constitutive_tpu.solver import PackedSimulation
+
+    mesh = shuffled_mesh(5)
+    V = FunctionSpace(mesh, 1, 3)
+
+    def close(axis, v):
+        return lambda x: np.isclose(x[:, axis], v)
+
+    bcs = [
+        DirichletBC(V.locate_dofs_geometrical(close(0, 0.0), component=0), 0.0),
+        DirichletBC(V.locate_dofs_geometrical(close(1, 0.0), component=1), 0.0),
+        DirichletBC(V.locate_dofs_geometrical(close(2, 0.0), component=2), 0.0),
+    ]
+    facets = locate_boundary_facets(V.mesh, close(0, 1.0))
+    f_ext = assemble_facet_traction(V, facets, np.array([100.0, 0.0, 0.0]))
+    law = LinearElasticityModel({"E": 1000.0, "nu": 0.3}, Constraint.FULL)
+    us = {}
+    for eng in ("windowed", "gather"):
+        sim = PackedSimulation(
+            law, V, bcs, 2, engine=eng, f_ext=f_ext,
+            newton_rtol=1e-12, newton_atol=1e-12, cg_rtol=1e-13,
+        )
+        niter, conv = sim.solve()
+        assert conv, eng
+        us[eng] = np.asarray(sim.u)
+    rel = np.linalg.norm(us["windowed"] - us["gather"]) / np.linalg.norm(
+        us["gather"]
+    )
+    assert rel < 1e-9, rel
+    # physics sanity: traction pulls +x, the free face moves +x
+    face = np.asarray(V.locate_dofs_geometrical(close(0, 1.0), component=0))
+    assert us["windowed"][face].mean() > 0
