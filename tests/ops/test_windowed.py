@@ -477,3 +477,56 @@ def test_windowed_neumann_matches_gather_engine():
     # physics sanity: traction pulls +x, the free face moves +x
     face = np.asarray(V.locate_dofs_geometrical(close(0, 1.0), component=0))
     assert us["windowed"][face].mean() > 0
+
+
+def test_windowed_solve_schedule_f_ext():
+    """solve_schedule on the windowed engine converts external loads at the
+    internal-layout boundary: [K] scalar ramps of self.f_ext and full
+    [K, ndofs] per-step vectors (vmapped to_internal) give identical
+    committed states."""
+    from fenics_constitutive_tpu.fem import DirichletBC
+    from fenics_constitutive_tpu.fem.facets import (
+        assemble_facet_traction,
+        locate_boundary_facets,
+    )
+    from fenics_constitutive_tpu.models import LinearElasticityModel
+    from fenics_constitutive_tpu.solver import PackedSimulation
+
+    mesh = shuffled_mesh(4)
+    V = FunctionSpace(mesh, 1, 3)
+
+    def close(axis, v):
+        return lambda x: np.isclose(x[:, axis], v)
+
+    bcs = [
+        DirichletBC(V.locate_dofs_geometrical(close(0, 0.0), component=0), 0.0),
+        DirichletBC(V.locate_dofs_geometrical(close(1, 0.0), component=1), 0.0),
+        DirichletBC(V.locate_dofs_geometrical(close(2, 0.0), component=2), 0.0),
+    ]
+    facets = locate_boundary_facets(V.mesh, close(0, 1.0))
+    f_ext = np.asarray(
+        assemble_facet_traction(V, facets, np.array([100.0, 0.0, 0.0]))
+    )
+    law = LinearElasticityModel({"E": 1000.0, "nu": 0.3}, Constraint.FULL)
+    K = 3
+    n_bc = sum(len(np.asarray(b.dofs)) for b in bcs)
+    vals = np.zeros((K, n_bc))
+
+    sim = PackedSimulation(
+        law, V, bcs, 2, engine="windowed", f_ext=f_ext,
+        newton_rtol=1e-12, newton_atol=1e-12, cg_rtol=1e-13,
+    )
+    stats = sim.solve_schedule(vals, f_ext_scales=np.array([0.5, 1.0, 1.0]))
+    assert bool(stats["converged"].all())
+
+    sim2 = PackedSimulation(
+        law, V, bcs, 2, engine="windowed",
+        newton_rtol=1e-12, newton_atol=1e-12, cg_rtol=1e-13,
+    )
+    stats2 = sim2.solve_schedule(
+        vals, f_ext_scales=np.stack([0.5 * f_ext, f_ext, f_ext])
+    )
+    assert bool(stats2["converged"].all())
+    np.testing.assert_allclose(
+        np.asarray(sim2.u), np.asarray(sim.u), rtol=1e-10, atol=1e-14
+    )
