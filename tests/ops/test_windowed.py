@@ -530,3 +530,65 @@ def test_windowed_solve_schedule_f_ext():
     np.testing.assert_allclose(
         np.asarray(sim2.u), np.asarray(sim.u), rtol=1e-10, atol=1e-14
     )
+
+
+def test_windowed_substepping_from_committed_state():
+    """Adaptive substepping on the windowed engine interpolates BC values
+    from the COMMITTED state's internal vector (r5 internal-state refactor:
+    start_vals extraction via internal bc slots)."""
+    from fenics_constitutive_tpu.fem import DirichletBC
+    from fenics_constitutive_tpu.models import VonMises3D
+    from fenics_constitutive_tpu.solver import PackedSimulation
+
+    mesh = shuffled_mesh(4)
+    V = FunctionSpace(mesh, 1, 3)
+
+    def close(axis, v):
+        return lambda x: np.isclose(x[:, axis], v)
+
+    bm = DirichletBC(V.locate_dofs_geometrical(close(0, 1.0), component=0), 0.0)
+    bcs = [
+        DirichletBC(V.locate_dofs_geometrical(close(0, 0.0), component=0), 0.0),
+        bm,
+        DirichletBC(V.locate_dofs_geometrical(close(1, 0.0), component=1), 0.0),
+        DirichletBC(V.locate_dofs_geometrical(close(2, 0.0), component=2), 0.0),
+    ]
+    mat = {
+        "p_ka": 175000.0, "p_mu": 80769.0, "p_y0": 1200.0,
+        "p_y00": 2500.0, "p_w": 200.0,
+    }
+    sim = PackedSimulation(
+        VonMises3D(mat), V, bcs, 2, engine="windowed",
+        newton_rtol=1e-8, newton_atol=1e-8,
+        max_subdivisions=2, cg_rtol=1e-12,
+    )
+    bm.value = 0.004
+    _, c1 = sim.solve()
+    assert c1
+
+    # force the whole-step attempt to REPORT failure so solve() must take
+    # the subdivision path deterministically (crossing the yield kink with
+    # a tiny Newton cap is physics-fragile); every substep's bc values must
+    # then interpolate from the COMMITTED 0.004, never from zero
+    seen = []
+    orig = sim._attempt
+    calls = {"n": 0}
+
+    def attempt(bc_dofs, bc_vals, f_ext, dt):
+        seen.append(float(jnp.max(jnp.abs(bc_vals))))
+        niter, ok = orig(bc_dofs, bc_vals, f_ext, dt)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return niter, False
+        return niter, ok
+
+    sim._attempt = attempt
+    bm.value = 0.012
+    niter, c2 = sim.solve()
+    assert c2, seen
+    assert len(seen) >= 3, seen  # whole + 2 substeps of level 1
+    # level-1 substeps: 0.004 + {1/2, 1}*(0.012 - 0.004) = 0.008, 0.012
+    np.testing.assert_allclose(seen[1:3], [0.008, 0.012], atol=1e-12)
+    u = np.asarray(sim.u)
+    face = np.asarray(V.locate_dofs_geometrical(close(0, 1.0), component=0))
+    np.testing.assert_allclose(u[face], 0.012, atol=1e-6)
