@@ -637,6 +637,46 @@ class PackedSimulation:
         self.last_stats = {k: v[-1] for k, v in stats.items()}
         return stats
 
+    # -- checkpoint / resume ----------------------------------------------------
+    # The committed PackedState fully determines the next step (the
+    # reference's u_prev/stress_0/history_0 triple, SURVEY §5.4). The
+    # registered-dataclass state is exposed as a PLAIN pytree here so
+    # utils.save_checkpoint/load_checkpoint round-trip it:
+    #     save_checkpoint(path, sim.state_dict())
+    #     sim.load_state_dict(load_checkpoint(path))
+    # Same-engine restore only: the windowed engine's u is its internal
+    # RCM vector and QP fields live in plan-slot order.
+
+    def state_dict(self) -> dict:
+        return {
+            "u": self.state.u,
+            "stress": tuple(self.state.stress),
+            "histories": tuple(self.state.histories),
+            "t": self.state.t,
+        }
+
+    def load_state_dict(self, st: dict) -> None:
+        from .packed_step import PackedState
+
+        def restore(node):
+            if node is None:
+                return None
+            if isinstance(node, dict):
+                if node and all(k.isdigit() for k in node):
+                    # load_checkpoint returns tuples as index-keyed dicts
+                    return tuple(
+                        restore(node[str(i)]) for i in range(len(node))
+                    )
+                return {k: restore(v) for k, v in node.items()}
+            return jnp.asarray(node)
+
+        self.state = PackedState(
+            u=jnp.asarray(st["u"]),
+            stress=restore(st["stress"]),
+            histories=restore(st["histories"]),
+            t=jnp.asarray(st["t"]),
+        )
+
     @property
     def u(self) -> jnp.ndarray:
         """Displacements in the PUBLIC node-major dof order. (The windowed

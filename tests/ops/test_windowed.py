@@ -592,3 +592,60 @@ def test_windowed_substepping_from_committed_state():
     u = np.asarray(sim.u)
     face = np.asarray(V.locate_dofs_geometrical(close(0, 1.0), component=0))
     np.testing.assert_allclose(u[face], 0.012, atol=1e-6)
+
+
+def test_windowed_checkpoint_resume(tmp_path):
+    """Checkpoint/resume of the production driver on the windowed engine:
+    save_checkpoint(sim.state_dict()) -> fresh sim -> load_state_dict ->
+    the resumed run matches the uninterrupted one exactly."""
+    from fenics_constitutive_tpu.fem import DirichletBC
+    from fenics_constitutive_tpu.models import VonMises3D
+    from fenics_constitutive_tpu.solver import PackedSimulation
+    from fenics_constitutive_tpu.utils import load_checkpoint, save_checkpoint
+
+    mesh = shuffled_mesh(4)
+    V = FunctionSpace(mesh, 1, 3)
+
+    def close(axis, v):
+        return lambda x: np.isclose(x[:, axis], v)
+
+    def mk():
+        bm = DirichletBC(
+            V.locate_dofs_geometrical(close(0, 1.0), component=0), 0.0
+        )
+        bcs = [
+            DirichletBC(
+                V.locate_dofs_geometrical(close(0, 0.0), component=0), 0.0
+            ),
+            bm,
+            DirichletBC(
+                V.locate_dofs_geometrical(close(1, 0.0), component=1), 0.0
+            ),
+            DirichletBC(
+                V.locate_dofs_geometrical(close(2, 0.0), component=2), 0.0
+            ),
+        ]
+        mat = {
+            "p_ka": 175000.0, "p_mu": 80769.0, "p_y0": 1200.0,
+            "p_y00": 2500.0, "p_w": 200.0,
+        }
+        sim = PackedSimulation(
+            VonMises3D(mat), V, bcs, 2, engine="windowed",
+            newton_rtol=1e-10, newton_atol=1e-10, cg_rtol=1e-12,
+        )
+        return sim, bm
+
+    sim, bm = mk()
+    bm.value = 0.006
+    assert sim.solve()[1]
+    save_checkpoint(tmp_path / "ck.npz", sim.state_dict())
+    bm.value = 0.008
+    assert sim.solve()[1]
+    u_ref = np.asarray(sim.u)
+
+    sim2, bm2 = mk()
+    sim2.load_state_dict(load_checkpoint(tmp_path / "ck.npz"))
+    assert float(sim2.state.t) == 1.0  # one committed step's time restored
+    bm2.value = 0.008
+    assert sim2.solve()[1]
+    np.testing.assert_allclose(np.asarray(sim2.u), u_ref, rtol=0, atol=1e-14)
