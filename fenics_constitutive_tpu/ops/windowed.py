@@ -485,6 +485,19 @@ class WindowedGeometry:
         rows = self.ex.gather(ui.reshape(self.vs, self.ex.M_pad))
         return self.ex.rows_to_cells(rows)  # [n, vs, C_pad]
 
+    def _dN(self, a: int, i: int) -> jnp.ndarray:
+        """Physical gradient channel [N]. Affine elements (P1 simplices)
+        store dN compactly as [n, g, C_pad] — identical for every QP of a
+        cell — and broadcast here (free under XLA fusion); this quarters
+        the dN HBM stream of every matvec/eval and the one-time device
+        upload (which matters through slow tunnels)."""
+        d = self.dN[a, i]
+        if d.shape[0] == self.N:
+            return d
+        return jnp.broadcast_to(
+            d[None, :], (self.n_qp, self.ex.C_pad)
+        ).reshape(-1)
+
     def strain(self, du: jnp.ndarray) -> jnp.ndarray:
         """Internal [vs*M_pad] -> Mandel strain [s, N]."""
         u_e = self._u_cells(du)
@@ -498,9 +511,9 @@ class WindowedGeometry:
         grad = {}
         for i in range(g):
             for j in range(vs):
-                acc = self.dN[0, i] * u_eN[0, j]
+                acc = self._dN(0, i) * u_eN[0, j]
                 for a in range(1, n):
-                    acc = acc + self.dN[a, i] * u_eN[a, j]
+                    acc = acc + self._dN(a, i) * u_eN[a, j]
                 grad[i, j] = acc
         rows = []
         for si in range(s):
@@ -547,7 +560,7 @@ class WindowedGeometry:
                 for i in range(g):
                     if sig_t[i, j] is None:
                         continue
-                    t = self.dN[a, i] * sig_t[i, j]
+                    t = self._dN(a, i) * sig_t[i, j]
                     acc = t if acc is None else acc + t
                 cols.append(
                     acc.reshape(self.n_qp, self.ex.C_pad).sum(axis=0)
@@ -575,9 +588,9 @@ class WindowedGeometry:
                         c = T[si, i, j]
                         if c == 0.0:
                             continue
-                        t = self.dN[a, i] if c == 1.0 else jnp.asarray(
+                        t = self._dN(a, i) if c == 1.0 else jnp.asarray(
                             c, dtype
-                        ) * self.dN[a, i]
+                        ) * self._dN(a, i)
                         acc = t if acc is None else acc + t
                     row.append(zero if acc is None else acc)
                 brows.append(jnp.stack(row, axis=0))
@@ -650,7 +663,14 @@ def build_windowed_geometry(
     # q-major flat: N index = q * C_pad + slot
     from ..utils import to_device
 
-    dN_j = to_device(dN_pad.transpose(2, 3, 1, 0).reshape(n, g, -1), dtype)
+    # affine elements (P1 simplices): dN identical across a cell's QPs —
+    # store ONE copy per cell ([n, g, C_pad]); WindowedGeometry._dN
+    # broadcasts it on device (exact bitwise equality check, not a
+    # tolerance: affine tabulation reuses the same Jinv per q)
+    if Q > 1 and bool((dN_pad == dN_pad[:, :1]).all()):
+        dN_j = to_device(dN_pad[:, 0].transpose(1, 2, 0), dtype)
+    else:
+        dN_j = to_device(dN_pad.transpose(2, 3, 1, 0).reshape(n, g, -1), dtype)
     w_j = to_device(w_pad.T.reshape(-1), dtype)
 
     inv = np.argsort(ex.perm)
